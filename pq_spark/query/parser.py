@@ -1,0 +1,476 @@
+"""PromQL-style expression parser — precedence-climbing (Pratt) loop.
+
+Faithful Python reimplementation of the reference grammar
+(reference: src/query/parser/expr.rs:19-120, vector.rs:13-129), including
+its quirks:
+
+- prefix alternation order is ``function_call | aggregate | paren | number |
+  unary | vector_selector`` — so ``-1`` parses as a number literal, and a
+  metric named ``nancy`` fails to parse (``nan`` number-literal prefix).
+- keyword matching is *prefix* based (nom ``tag_no_case``): once an
+  aggregate keyword matches and the mandatory ``(`` is missing, the whole
+  parse fails hard (so a metric named ``summary`` is unparseable — the
+  ``sum`` prefix wins). Missing ``(`` after a *function* name is a soft miss.
+- the expression terminator set is {EOF, ',', ')', '|'}
+  (expr.rs:21 ``EXPR_SEP``).
+- ``^`` is LEFT-associative here (expr.rs:52 uses ``<=``), unlike Prometheus.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..errors import ParseError
+from ..timeparse import parse_duration_prefix
+from .ast import (
+    AggregateOperation,
+    BinaryOperation,
+    Expr,
+    FunctionCall,
+    LabelMatcher,
+    NumberLiteral,
+    Parentheses,
+    PRECEDENCE,
+    UnaryOperation,
+    VectorSelector,
+)
+
+
+class _Miss(Exception):
+    """Soft parser miss — try the next alternative (nom::Err::Error)."""
+
+
+_WS = re.compile(r"\s*")
+_LABEL_IDENT = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")
+_METRIC_IDENT = re.compile(r"[a-zA-Z_:][a-zA-Z0-9_:]*")
+_STRING_LIT = re.compile(r'"([^"]*)"')
+# nom's `double`: optional sign, inf/infinity/nan (case-insensitive), or
+# decimal with optional exponent.
+_NUMBER = re.compile(
+    r"[+-]?(?:[iI][nN][fF](?:[iI][nN][iI][tT][yY])?|[nN][aA][nN]"
+    r"|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+)
+
+_BINARY_OPS = [  # alternation order from expr.rs:127-145
+    "+", "/", "*", "%", "^", "-", "==", ">=", ">", "<=", "<", "!=",
+    "and", "unless", "or",
+]
+
+_AGGREGATE_OPS = [  # alternation order from expr.rs:293-309
+    "avg", "bottomk", "count", "count_values", "group", "max", "min",
+    "quantile", "stddev", "stdvar", "sum", "topk",
+]
+
+_FUNCTION_NAMES = [  # alternation order from expr.rs:423-436
+    "clamp", "clamp_max", "clamp_min", "count_over_time", "last_over_time",
+    "max_over_time", "min_over_time", "sum_over_time", "vector",
+]
+
+_FUNC_ARG_KINDS: dict[str, list[str]] = {
+    # reference: expr.rs:442-456
+    "avg_over_time": ["range"],
+    "count_over_time": ["range"],
+    "last_over_time": ["range"],
+    "max_over_time": ["range"],
+    "min_over_time": ["range"],
+    "sum_over_time": ["range"],
+    "clamp": ["vector", "number", "number"],
+    "clamp_max": ["vector", "number"],
+    "clamp_min": ["vector", "number"],
+    "label_replace": ["vector", "string", "string", "string", "string"],
+    "vector": ["number"],
+}
+
+
+class Cursor:
+    __slots__ = ("s", "pos")
+
+    def __init__(self, s: str, pos: int = 0):
+        self.s = s
+        self.pos = pos
+
+    def ws(self) -> None:
+        self.pos = _WS.match(self.s, self.pos).end()
+
+    def peek(self) -> str | None:
+        return self.s[self.pos] if self.pos < len(self.s) else None
+
+    def peek_after_ws(self) -> str | None:
+        p = _WS.match(self.s, self.pos).end()
+        return self.s[p] if p < len(self.s) else None
+
+    def tag(self, t: str) -> bool:
+        """Case-insensitive prefix match (nom tag_no_case); consumes."""
+        if self.s[self.pos : self.pos + len(t)].lower() == t.lower():
+            self.pos += len(t)
+            return True
+        return False
+
+    def char(self, c: str) -> bool:
+        if self.pos < len(self.s) and self.s[self.pos] == c:
+            self.pos += 1
+            return True
+        return False
+
+    def regex(self, pat: re.Pattern) -> re.Match | None:
+        m = pat.match(self.s, self.pos)
+        if m:
+            self.pos = m.end()
+        return m
+
+    def save(self) -> int:
+        return self.pos
+
+    def restore(self, p: int) -> None:
+        self.pos = p
+
+    def fail(self, wherein: str, expected: str):
+        raise ParseError(f"failed to parse {wherein}: expected {expected}", self.pos)
+
+
+def parse_expr(s: str) -> Expr:
+    cur = Cursor(s)
+    cur.ws()
+    node = _expr(cur, None)
+    cur.ws()
+    if cur.pos != len(s):
+        cur.fail("query expression", "EOF")
+    return node
+
+
+def _expr(cur: Cursor, min_prec: int | None) -> Expr:
+    """Parse an expression; stops before ops with precedence <= min_prec."""
+    lhs = _prefix(cur)
+
+    while cur.peek_after_ws() not in (None, ",", ")", "|"):
+        saved = cur.save()
+        cur.ws()
+        op = _binary_op(cur)
+        if op is None:
+            cur.restore(saved)
+            cur.fail("binary expression", "binary operator")
+        if PRECEDENCE[op] <= (min_prec if min_prec is not None else 0):
+            cur.restore(saved)
+            break
+
+        cur.ws()
+        bool_modifier = cur.tag("bool")
+        if bool_modifier:
+            cur.ws()
+
+        label_matching = _label_matching(cur)
+        if label_matching is not None:
+            cur.ws()
+
+        group_modifier = _group_modifier(cur)
+        if group_modifier is not None:
+            cur.ws()
+
+        try:
+            rhs = _expr(cur, PRECEDENCE[op])
+        except _Miss:
+            cur.fail("binary expression", "right-hand expression")
+
+        lhs = BinaryOperation(
+            op, lhs, rhs,
+            bool_modifier=bool_modifier,
+            label_matching=label_matching,
+            group_modifier=group_modifier,
+        )
+
+    return lhs
+
+
+def _prefix(cur: Cursor) -> Expr:
+    # alternation order matters (expr.rs:25-34)
+    for alt in (_function_call, _aggregate, _paren, _number_literal, _unary,
+                _vector_selector_expr):
+        saved = cur.save()
+        try:
+            return alt(cur)
+        except _Miss:
+            cur.restore(saved)
+    cur.fail("expression", "a valid expression")
+
+
+def _binary_op(cur: Cursor) -> str | None:
+    for op in _BINARY_OPS:
+        if cur.tag(op):
+            return op
+    return None
+
+
+def _number_literal(cur: Cursor) -> Expr:
+    m = cur.regex(_NUMBER)
+    if not m:
+        raise _Miss()
+    return NumberLiteral(float(m.group(0).lower().replace("infinity", "inf")))
+
+
+def _unary(cur: Cursor) -> Expr:
+    c = cur.peek()
+    if c not in ("+", "-"):
+        raise _Miss()
+    cur.pos += 1
+    cur.ws()
+    inner = _expr(cur, PRECEDENCE["*"])  # expr.rs:379-383
+    return UnaryOperation(c, inner)
+
+
+def _paren(cur: Cursor) -> Expr:
+    if not cur.char("("):
+        raise _Miss()
+    cur.ws()
+    try:
+        inner = _expr(cur, None)
+    except _Miss:
+        cur.fail("parentheses", "valid expression")
+    cur.ws()
+    if not cur.char(")"):
+        cur.fail("parentheses", ")")
+    return Parentheses(inner)
+
+
+def _separated_list(cur: Cursor, opener: str, closer: str, parse_elem,
+                    wherein: str, expected: str) -> list:
+    """nom separated_list parity (reference: src/utils/parse/common.rs)."""
+    if not cur.char(opener):
+        raise _Miss()
+    elems = []
+    while True:
+        saved = cur.save()
+        cur.ws()
+        try:
+            elems.append(parse_elem(cur))
+        except _Miss:
+            cur.restore(saved)
+            break
+        cur.ws()
+        saved = cur.save()
+        if not cur.char(","):
+            cur.restore(saved)
+            break
+    cur.ws()
+    if not cur.char(closer):
+        cur.fail(wherein, expected)
+    return elems
+
+
+def _grouping_labels(cur: Cursor) -> list[str]:
+    def one(c: Cursor) -> str:
+        m = c.regex(_LABEL_IDENT)
+        if not m:
+            raise _Miss()
+        return m.group(0)
+
+    return _separated_list(cur, "(", ")", one, "grouping labels clause",
+                           'label or ")"')
+
+
+def _label_matching(cur: Cursor):
+    saved = cur.save()
+    if cur.tag("on"):
+        kind = "on"
+    elif cur.tag("ignoring"):
+        kind = "ignoring"
+    else:
+        return None
+    cur.ws()
+    try:
+        labels = _grouping_labels(cur)
+    except _Miss:
+        cur.restore(saved)
+        return None
+    return (kind, frozenset(labels))
+
+
+def _group_modifier(cur: Cursor):
+    saved = cur.save()
+    if cur.tag("group_left"):
+        kind = "left"
+    elif cur.tag("group_right"):
+        kind = "right"
+    else:
+        return None
+    pre = cur.save()
+    cur.ws()
+    try:
+        labels = _grouping_labels(cur)
+    except _Miss:
+        cur.restore(pre)
+        labels = []
+    del saved
+    return (kind, labels)
+
+
+def _aggregate_modifier(cur: Cursor):
+    if cur.tag("by"):
+        kind = "by"
+    elif cur.tag("without"):
+        kind = "without"
+    else:
+        return None
+    cur.ws()
+    try:
+        labels = _grouping_labels(cur)
+    except _Miss:
+        cur.fail("aggregation", "label list")
+    return (kind, frozenset(labels))
+
+
+def _aggregate(cur: Cursor) -> Expr:
+    op = None
+    for cand in _AGGREGATE_OPS:
+        if cur.tag(cand):
+            op = cand
+            break
+    if op is None:
+        raise _Miss()
+
+    cur.ws()
+    modifier = _aggregate_modifier(cur)
+    cur.ws()
+    if not cur.char("("):
+        # hard failure — reference expr.rs:193-203 (a metric named e.g.
+        # `summary` is unparseable in pq; we keep that behavior)
+        cur.fail("aggregate expression", "(")
+
+    argument = None
+    if op == "count_values":
+        cur.ws()
+        m = cur.regex(_STRING_LIT)
+        if not m:
+            cur.fail("count_values operator", "string literal")
+        argument = m.group(1)
+    elif op in ("quantile", "topk", "bottomk"):
+        cur.ws()
+        m = cur.regex(_NUMBER)
+        if not m:
+            cur.fail("quantile, topk, or bottomk operator", "number literal")
+        argument = float(m.group(0).lower().replace("infinity", "inf"))
+
+    if argument is not None:
+        cur.ws()
+        if not cur.char(","):
+            cur.fail("count_values, quantile, topk, or bottomk operator", ",")
+
+    cur.ws()
+    try:
+        inner = _expr(cur, None)
+    except _Miss:
+        cur.fail("aggregate operator", "valid expression")
+    cur.ws()
+    if not cur.char(")"):
+        cur.fail("aggregate expression", ")")
+
+    if modifier is None:
+        saved = cur.save()
+        cur.ws()
+        modifier = _aggregate_modifier(cur)
+        if modifier is None:
+            cur.restore(saved)
+
+    return AggregateOperation(op, inner, modifier, argument)
+
+
+def _function_call(cur: Cursor) -> Expr:
+    name = None
+    for cand in _FUNCTION_NAMES:
+        saved = cur.save()
+        if cur.tag(cand):
+            after = cur.save()
+            cur.ws()
+            if cur.char("("):
+                name = cand
+                break
+            cur.restore(saved)
+        else:
+            cur.restore(saved)
+    if name is None:
+        raise _Miss()
+
+    args: list = []
+    kinds = _FUNC_ARG_KINDS[name]
+    for i, kind in enumerate(kinds):
+        cur.ws()
+        if kind == "number":
+            m = cur.regex(_NUMBER)
+            if not m:
+                cur.fail("function call", "number literal")
+            args.append(float(m.group(0).lower().replace("infinity", "inf")))
+        elif kind == "string":
+            m = cur.regex(_STRING_LIT)
+            if not m:
+                cur.fail("function call", "string literal")
+            args.append(m.group(1))
+        else:  # vector / range expression
+            try:
+                args.append(_expr(cur, None))
+            except _Miss:
+                cur.fail("function call", f"{kind} vector")
+        if i != len(kinds) - 1:
+            cur.ws()
+            if not cur.char(","):
+                cur.fail("function call", "more argument(s)")
+
+    cur.ws()
+    if not cur.char(")"):
+        cur.fail("function call", ")")
+    return FunctionCall(name, args)
+
+
+def _label_matcher(cur: Cursor) -> LabelMatcher:
+    m = cur.regex(_LABEL_IDENT)
+    if not m:
+        raise _Miss()
+    label = m.group(0)
+    cur.ws()
+    op = None
+    for cand in ("=~", "!~", "!=", "="):  # vector.rs:93-99 order
+        if cur.tag(cand):
+            op = cand
+            break
+    if op is None:
+        cur.fail("label matching", 'one of "=", "!=", "=~", "!~"')
+    cur.ws()
+    sm = cur.regex(_STRING_LIT)
+    if not sm:
+        cur.fail("label matching", "label value as string literal")
+    return LabelMatcher(label, op, sm.group(1))
+
+
+def _vector_selector(cur: Cursor) -> VectorSelector:
+    m = cur.regex(_METRIC_IDENT)
+    name = m.group(0) if m else None
+
+    saved = cur.save()
+    cur.ws()
+    try:
+        matchers = _separated_list(cur, "{", "}", _label_matcher,
+                                   "label matching", 'identifier or "}"')
+    except _Miss:
+        cur.restore(saved)
+        if name is None:
+            raise
+        matchers = []
+
+    saved = cur.save()
+    cur.ws()
+    duration_ms = None
+    if cur.char("["):
+        rest = cur.s[cur.pos:]
+        try:
+            duration_ms, consumed = parse_duration_prefix(rest)
+        except ParseError:
+            cur.fail("range vector selector", "duration literal")
+        cur.pos += consumed
+        if not cur.char("]"):
+            cur.fail("range vector selector", "]")
+    else:
+        cur.restore(saved)
+
+    return VectorSelector.create(name, matchers, duration_ms)
+
+
+def _vector_selector_expr(cur: Cursor) -> Expr:
+    return _vector_selector(cur)

@@ -1,0 +1,380 @@
+"""Ingest: log lines → entries → records → the samples fact table.
+
+The samples fact table is the engine's core relation — one long, narrow
+DataFrame::
+
+    samples(seq: long, ts: long, name: string,
+            labels: map<string,string>,   -- INCLUDES __name__
+            value: double)
+
+Derivation mirrors the reference pipeline stages (decode → map → sample
+fan-out, reference: src/parse/**, src/query/sample.rs:75-113) but is
+expressed as native Spark SQL expressions so Catalyst can push filters and
+prune columns; the only Python in the hot path is Arrow-batched pandas UDFs
+for the JSON decoder and the timestamp guess-cascade (formats the JVM
+parser can't express).
+
+Scale notes (100 TB):
+- the regex decoder is JVM-side ``regexp_extract`` (codegen'd, no Python);
+  one regex evaluation per capture group — for wide patterns prefer the
+  table-ingest path (``samples_from_table``) which skips decoding entirely.
+- ``lines_from_text`` assigns global line numbers with zipWithIndex (one
+  extra pass); the line number only feeds the synthetic ``__line__`` metric,
+  so table-based ingest uses a per-partition id instead.
+"""
+
+from __future__ import annotations
+
+import re as _pyre
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..errors import PqError
+from ..program import JsonDecoder, Mapper, RegexDecoder
+from ..timeparse import parse_time, strptime_to_java, try_parse_time
+
+NAME_LABEL = "__name__"
+LINE_METRIC = "__line__"
+
+def _empty_map(value_type: str):
+    return F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast(f"array<{value_type}>")
+    )
+
+
+def lines_df(spark: SparkSession, lines: list[str]) -> DataFrame:
+    """Small-input helper (golden tests): 1-based line numbers
+    (reference: src/input/reader.rs:25-38)."""
+    rows = [(i + 1, s) for i, s in enumerate(lines)]
+    return spark.createDataFrame(rows, "line_no long, line string")
+
+
+def lines_from_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read a text file with global 1-based line numbers."""
+    rdd = spark.read.text(path).rdd.zipWithIndex()
+    return rdd.map(lambda t: (t[1] + 1, t[0][0])).toDF(["line_no", "line"])
+
+
+# ---------------------------------------------------------------------------
+# decoders → entries(line_no, arr, map)
+# ---------------------------------------------------------------------------
+
+
+def decode(lines: DataFrame, decoder) -> DataFrame:
+    if isinstance(decoder, RegexDecoder):
+        return _decode_regex(lines, decoder.regex)
+    if isinstance(decoder, JsonDecoder):
+        return _decode_json(lines)
+    raise PqError(f"unknown decoder {decoder!r}")
+
+
+def _decode_regex(lines: DataFrame, pattern: str) -> DataFrame:
+    """Regex decoder (reference: src/parse/decoding/regex.rs:18-34).
+
+    Group 0 is skipped when the pattern has ≥1 capture group; non-matching
+    lines are record errors (dropped). Pure JVM path: ``rlike`` +
+    ``regexp_extract`` per group.
+    """
+    try:
+        n_groups = _pyre.compile(pattern).groups
+    except _pyre.error as e:
+        raise PqError(f"bad regex pattern: {e}")
+
+    if pattern == "":
+        matched = F.lit(True)
+    else:
+        matched = F.col("line").rlike(pattern)
+
+    if n_groups == 0:
+        fields = [F.regexp_extract("line", pattern, 0)]
+    else:
+        fields = [F.regexp_extract("line", pattern, i) for i in range(1, n_groups + 1)]
+
+    return (
+        lines.filter(matched)
+        .select(
+            "line_no",
+            F.array(*fields).alias("arr"),
+            F.lit(None).cast("map<string,string>").alias("map"),
+        )
+    )
+
+
+def _decode_json(lines: DataFrame) -> DataFrame:
+    """JSON decoder (reference: src/parse/decoding/json.rs:48-59).
+
+    Flat arrays → positional entries; flat objects → named entries; nested
+    values dropped; bool/null/number stringified with serde parity.
+    Arrow-batched pandas UDF (JSON shape is dynamic per line, so a static
+    from_json schema can't replicate the reference's behavior).
+    """
+
+    @pandas_udf("struct<arr: array<string>, map: map<string,string>>")
+    def _dec(s: pd.Series) -> pd.DataFrame:
+        import json
+
+        def scalar(v):
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if v is None:
+                return "null"
+            if isinstance(v, (int, float)):
+                if isinstance(v, int):
+                    return str(v)
+                r = repr(v)
+                return r[:-2] if r.endswith(".0") else r
+            if isinstance(v, str):
+                return v
+            return None  # nested → dropped
+
+        arrs, maps = [], []
+        for line in s:
+            arr = mp = None
+            try:
+                obj = json.loads(line)
+                if isinstance(obj, list):
+                    arr = [x for x in (scalar(v) for v in obj) if x is not None]
+                elif isinstance(obj, dict):
+                    mp = {k: sv for k, v in obj.items() if (sv := scalar(v)) is not None}
+            except (ValueError, TypeError):
+                pass
+            arrs.append(arr)
+            maps.append(mp)
+        return pd.DataFrame({"arr": arrs, "map": maps})
+
+    dec = _dec(F.col("line"))
+    return (
+        lines.select("line_no", dec.alias("_e"))
+        .select("line_no", F.col("_e.arr").alias("arr"), F.col("_e.map").alias("map"))
+        .filter(F.col("arr").isNotNull() | F.col("map").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# mapper → records(seq, ts, labels, values)
+# ---------------------------------------------------------------------------
+
+
+def _guess_ts_udf():
+    @pandas_udf("long")
+    def _guess(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: try_parse_time(v) if isinstance(v, str) else None
+        ).astype("Int64")
+
+    return _guess
+
+
+def _explicit_ts_udf(fmt: str):
+    @pandas_udf("long")
+    def _parse(s: pd.Series) -> pd.Series:
+        def one(v):
+            if not isinstance(v, str):
+                return None
+            try:
+                return parse_time(v, fmt)
+            except Exception:
+                return None
+
+        return s.map(one).astype("Int64")
+
+    return _parse
+
+
+def _ts_expr(datum, fmt: str | None):
+    if fmt is None:
+        return _guess_ts_udf()(datum)
+    java = strptime_to_java(fmt)
+    if java is not None:
+        return F.unix_millis(F.try_to_timestamp(datum, F.lit(java)))
+    return _explicit_ts_udf(fmt)(datum)
+
+
+def map_records(
+    entries: DataFrame,
+    mapper: Mapper,
+    since_ms: int | None = None,
+    until_ms: int | None = None,
+) -> DataFrame:
+    """Apply the ``map { … }`` clause (reference:
+    src/parse/mapping/strategy.rs:17-93) producing typed records.
+
+    Per-record errors (missing field, failed num/ts parse, entry-kind
+    mismatch) drop the record, matching the reference's skip-on-error loop
+    (src/runner.rs:150-157). The ``--since``/``--until`` range filter is a
+    plain timestamp predicate (partition-prunable at scale).
+    """
+    datum_cols = {}
+    valid = F.lit(True)
+    ts_col = F.lit(None).cast("long")
+    label_entries = []
+    value_entries = []
+
+    for i, fld in enumerate(mapper.fields):
+        if fld.typ == "const":
+            label_entries.append(
+                F.struct(
+                    F.lit(fld.end_name).alias("key"),
+                    F.lit(fld.const_value).alias("value"),
+                )
+            )
+            continue
+
+        if isinstance(fld.loc, int):
+            datum = F.try_element_at(F.col("arr"), F.lit(fld.loc + 1))
+            valid = valid & F.col("arr").isNotNull()
+        else:
+            datum = F.col("map").getItem(fld.loc)
+            valid = valid & F.col("map").isNotNull()
+        dname = f"_d{i}"
+        datum_cols[dname] = datum
+        datum = F.col(dname)
+
+        if fld.typ == "str":
+            valid = valid & datum.isNotNull()
+            label_entries.append(
+                F.struct(F.lit(fld.end_name).alias("key"), datum.alias("value"))
+            )
+        elif fld.typ == "num":
+            num = datum.try_cast("double")
+            valid = valid & num.isNotNull()
+            value_entries.append(
+                F.struct(F.lit(fld.end_name).alias("key"), num.alias("value"))
+            )
+        elif fld.typ == "auto":
+            # numeric ⇒ value, else ⇒ label (strategy.rs:31-38)
+            num = datum.try_cast("double")
+            valid = valid & datum.isNotNull()
+            value_entries.append(
+                F.when(
+                    num.isNotNull(),
+                    F.struct(F.lit(fld.end_name).alias("key"), num.alias("value")),
+                )
+            )
+            label_entries.append(
+                F.when(
+                    num.isNull() & datum.isNotNull(),
+                    F.struct(F.lit(fld.end_name).alias("key"), datum.alias("value")),
+                )
+            )
+        elif fld.typ == "ts":
+            parsed = _ts_expr(datum, fld.ts_format)
+            valid = valid & datum.isNotNull() & parsed.isNotNull()
+            ts_col = parsed
+        else:  # pragma: no cover
+            raise PqError(f"unknown field type {fld.typ}")
+
+    df = entries
+    for name, col in datum_cols.items():
+        df = df.withColumn(name, col)
+
+    def entries_map(entries_list, empty, value_type):
+        if not entries_list:
+            return empty
+        return F.map_from_entries(
+            F.filter(F.array(*entries_list), lambda x: x.isNotNull())
+        )
+
+    rec = df.select(
+        F.col("line_no").alias("seq"),
+        ts_col.alias("ts"),
+        entries_map(label_entries, _empty_map("string"), "string").alias("labels"),
+        entries_map(value_entries, _empty_map("double"), "double").alias("values"),
+        valid.alias("_valid"),
+    ).filter(F.col("_valid")).drop("_valid")
+
+    # --since / --until (reference: src/parse/mapping/mapper.rs:45-54):
+    # untimestamped records pass both checks.
+    if since_ms is not None:
+        rec = rec.filter(F.col("ts").isNull() | (F.col("ts") >= F.lit(since_ms)))
+    if until_ms is not None:
+        rec = rec.filter(F.col("ts").isNull() | (F.col("ts") <= F.lit(until_ms)))
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# records → samples (the unpivot / fan-out)
+# ---------------------------------------------------------------------------
+
+
+def samples_from_records(records: DataFrame) -> DataFrame:
+    """Record → sample fan-out (reference: src/query/sample.rs:75-113):
+    one sample per value entry plus the synthetic ``__line__`` metric;
+    records without a timestamp are silently dropped (sample.rs:88)."""
+    with_line = records.filter(F.col("ts").isNotNull()).select(
+        "seq",
+        "ts",
+        "labels",
+        F.map_concat(
+            F.map_filter(F.col("values"), lambda k, _: k != F.lit(LINE_METRIC)),
+            F.create_map(F.lit(LINE_METRIC), F.col("seq").cast("double")),
+        ).alias("values"),
+    )
+    exploded = with_line.select(
+        "seq", "ts", "labels", F.explode("values").alias("name", "value")
+    )
+    return exploded.select(
+        "seq",
+        "ts",
+        "name",
+        F.map_concat(
+            F.map_filter(F.col("labels"), lambda k, _: k != F.lit(NAME_LABEL)),
+            F.create_map(F.lit(NAME_LABEL), F.col("name")),
+        ).alias("labels"),
+        "value",
+    )
+
+
+def samples_from_table(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: list[str],
+    label_cols: list[str],
+    seq_col: str | None = None,
+    ts_unit: str = "timestamp",
+    with_line_metric: bool = True,
+) -> DataFrame:
+    """Scale-path ingest: a columnar table → samples, no decoding.
+
+    This is how the north-rule corpus enters the engine: e.g. the page table
+    ``(url, warc_ts, html, text, lang)`` maps to labels {lang, domain},
+    values {text_len, content_len} with ``ts = warc_ts`` in ms. Pure
+    column expressions — fully prunable/pushable by Catalyst.
+
+    ts_unit: 'timestamp' (native timestamp col) | 'ms' (already epoch ms).
+    """
+    ts = F.unix_millis(F.col(ts_col)) if ts_unit == "timestamp" else F.col(ts_col).cast("long")
+    seq = F.col(seq_col).cast("long") if seq_col else F.monotonically_increasing_id()
+
+    base = df.select(
+        seq.alias("seq"),
+        ts.alias("ts"),
+        *[F.col(c).cast("string").alias(c) for c in label_cols],
+        *[F.col(c).cast("double").alias(c) for c in value_cols],
+    ).filter(F.col("ts").isNotNull())
+
+    metrics = list(value_cols) + ([LINE_METRIC] if with_line_metric else [])
+    stack_parts = []
+    for m in value_cols:
+        stack_parts.append(f"'{m}', `{m}`")
+    if with_line_metric:
+        stack_parts.append(f"'{LINE_METRIC}', cast(seq as double)")
+    unpivoted = base.select(
+        "seq",
+        "ts",
+        *label_cols,
+        F.expr(f"stack({len(metrics)}, {', '.join(stack_parts)}) as (name, value)"),
+    ).filter(F.col("value").isNotNull())
+
+    label_map = F.map_concat(
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in label_cols]),
+            F.array(*[F.col(c) for c in label_cols]),
+        )
+        if label_cols
+        else _empty_map("string"),
+        F.create_map(F.lit(NAME_LABEL), F.col("name")),
+    )
+    return unpivoted.select("seq", "ts", "name", label_map.alias("labels"), "value")

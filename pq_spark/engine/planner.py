@@ -1,0 +1,787 @@
+"""Query planner: AST → DataFrame plans (frames).
+
+This is the Spark-native replacement for the reference's iterator-tree
+evaluator (reference: src/query/evaluator.rs:96-152). Each AST node lowers
+to declarative DataFrame operations; Catalyst handles optimization. The
+temporal core — the per-selector evaluation grid with staleness/lookback
+gap-fill (reference: src/query/vector.rs) — is expressed as:
+
+1. a tiny bounds aggregate per selector (min/max matched sample ts),
+2. a ``sequence``-generated grid of instants:
+   ``t0 = anchor + min(lookback, interval) − 1``, anchor = ``--since`` or
+   the selector's first matching sample (vector.rs:29-45,86-97); the last
+   instant is the largest grid point ``< max_ts + lookback`` (the buffer
+   drains over trailing instants, vector.rs:74-107),
+3. a shuffle-friendly **serving-instant explode**: each sample serves the
+   grid instants ``t`` with ``ts ≤ t < ts + lookback``; fan-out is
+   ``ceil(lookback/interval)`` rows (= 1 for pq's default lookback ==
+   interval). This replaces an O(grid × samples) range join with a
+   map-side explode + hash aggregation, which scales linearly and
+   partitions by (instant, series) — no skew pile-up on hot series at
+   100 TB (hot *instants* are bounded by series cardinality per tick).
+
+Ordering parity: the reference materializes vectors in BTreeMap order of
+the byte signature (sorted ``k\\xffv`` concat) — we carry an ``ord`` column
+and sort on it at output time.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..errors import MatchingError, PqError
+from ..query.ast import (
+    AGG_OVER_TIME_FUNCS,
+    AggregateOperation,
+    BinaryOperation,
+    EXTENSION_OVER_TIME_FUNCS,
+    Expr,
+    FunctionCall,
+    LabelMatcher,
+    NumberLiteral,
+    Parentheses,
+    UnaryOperation,
+    VectorSelector,
+    find_smallest_range_ms,
+    op_kind,
+)
+from .frames import Check, RangeFrame, ScalarResult, VectorFrame
+
+NAME_LABEL = "__name__"
+F64_EPSILON = 2.220446049250313e-16
+DEFAULT_INTERVAL_MS = 1000
+
+
+def sig_expr(labels: Column) -> Column:
+    """Series signature: sorted ``key\\xffvalue`` concatenation
+    (reference: src/model/labels.rs:51-57)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(labels)),
+            lambda e: F.concat(e.getField("key"), F.lit("\xff"), e.getField("value")),
+        ),
+        "",
+    )
+
+
+def _labels_with(labels: Column, names) -> Column:
+    """Keep listed labels, always dropping __name__ (labels.rs:27-31)."""
+    arr = F.array(*[F.lit(n) for n in names]) if names else F.array().cast("array<string>")
+    return F.map_filter(
+        labels, lambda k, _: (k != F.lit(NAME_LABEL)) & F.array_contains(arr, k)
+    )
+
+
+def _labels_without(labels: Column, names) -> Column:
+    """Drop listed labels and __name__ (labels.rs:33-37)."""
+    if not names:
+        return F.map_filter(labels, lambda k, _: k != F.lit(NAME_LABEL))
+    arr = F.array(*[F.lit(n) for n in names])
+    return F.map_filter(
+        labels, lambda k, _: (k != F.lit(NAME_LABEL)) & ~F.array_contains(arr, k)
+    )
+
+
+def group_labels_expr(labels: Column, modifier) -> Column:
+    """Aggregation grouping labels (reference: src/query/aggregate.rs:46-50)."""
+    if modifier is None:
+        return _labels_with(labels, [])
+    kind, names = modifier
+    return _labels_with(labels, names) if kind == "by" else _labels_without(labels, names)
+
+
+def match_labels_expr(labels: Column, matching) -> Column:
+    """Vector-matching labels (reference: src/query/value.rs:79-102)."""
+    if matching is None:
+        return _labels_without(labels, [])
+    kind, names = matching
+    return _labels_with(labels, names) if kind == "on" else _labels_without(labels, names)
+
+
+# ---------------------------------------------------------------------------
+# scalar (plan-time) arithmetic — IEEE f64 parity via numpy
+# ---------------------------------------------------------------------------
+
+
+def scalar_binop(op: str, a: float, b: float) -> float:
+    """Rust f64 op parity (reference: src/query/binary.rs:331-352)."""
+    with np.errstate(all="ignore"):
+        x, y = np.float64(a), np.float64(b)
+        if op == "+":
+            return float(x + y)
+        if op == "-":
+            return float(x - y)
+        if op == "*":
+            return float(x * y)
+        if op == "/":
+            return float(x / y)
+        if op == "%":
+            return float(np.fmod(x, y))
+        if op == "^":
+            return float(np.power(x, y))
+        if op == "==":
+            return float(abs(float(x) - float(y)) < F64_EPSILON)
+        if op == "!=":
+            return float(abs(float(x) - float(y)) > F64_EPSILON)
+        if op == ">":
+            return float(float(x) > float(y))
+        if op == ">=":
+            return float(float(x) >= float(y))
+        if op == "<":
+            return float(float(x) < float(y))
+        if op == "<=":
+            return float(float(x) <= float(y))
+    raise PqError(f"operator {op} is not supported between scalars")
+
+
+def _binop_col(op: str, l: Column, r: Column) -> Column:
+    """Arithmetic column op with IEEE f64 semantics (Spark's non-ANSI
+    ``/``/``%`` return NULL on zero divisors — pq needs ±Inf/NaN)."""
+    if op == "+":
+        return l + r
+    if op == "-":
+        return l - r
+    if op == "*":
+        return l * r
+    if op == "/":
+        return (
+            F.when(
+                r == 0.0,
+                F.when(l > 0, F.lit(float("inf")))
+                .when(l < 0, F.lit(float("-inf")))
+                .otherwise(F.lit(float("nan"))),
+            )
+            .otherwise(l / r)
+        )
+    if op == "%":
+        return F.when(r == 0.0, F.lit(float("nan"))).otherwise(l % r)
+    if op == "^":
+        return F.pow(l, r)
+    raise PqError(f"operator {op} is not an arithmetic operator")
+
+
+def _compare_pred(op: str, l: Column, r: Column) -> Column:
+    """Comparison predicate with the reference's epsilon equality
+    (binary.rs:344,349): ``==`` ⇔ |l−r| < ε, ``!=`` ⇔ |l−r| > ε."""
+    if op == "==":
+        return F.abs(l - r) < F.lit(F64_EPSILON)
+    if op == "!=":
+        return F.abs(l - r) > F.lit(F64_EPSILON)
+    if op == ">":
+        return l > r
+    if op == ">=":
+        return l >= r
+    if op == "<":
+        return l < r
+    if op == "<=":
+        return l <= r
+    raise PqError(f"operator {op} is not a comparison operator")
+
+
+# ---------------------------------------------------------------------------
+# planner
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PlanContext:
+    samples: DataFrame
+    interval_ms: int
+    lookback_ms: int
+    start_at_ms: int | None = None
+    strict: bool = True
+    extensions: bool = False
+
+
+class Planner:
+    def __init__(self, ctx: PlanContext):
+        self.ctx = ctx
+
+    # -- entry ---------------------------------------------------------------
+
+    @staticmethod
+    def infer_interval_ms(expr: Expr, cli_interval_ms: int | None) -> int:
+        if cli_interval_ms is not None:
+            return cli_interval_ms
+        smallest = find_smallest_range_ms(expr)
+        return smallest if smallest is not None else DEFAULT_INTERVAL_MS
+
+    def plan(self, node: Expr):
+        if isinstance(node, Parentheses):
+            return self.plan(node.inner)
+        if isinstance(node, NumberLiteral):
+            return ScalarResult(node.value)
+        if isinstance(node, VectorSelector):
+            return self._plan_selector(node)
+        if isinstance(node, UnaryOperation):
+            return self._plan_unary(node)
+        if isinstance(node, AggregateOperation):
+            return self._plan_aggregate(node)
+        if isinstance(node, BinaryOperation):
+            return self._plan_binary(node)
+        if isinstance(node, FunctionCall):
+            return self._plan_function(node)
+        raise PqError(f"cannot plan node {node!r}")
+
+    # -- selectors -------------------------------------------------------------
+
+    def _matcher_filter(self, m: LabelMatcher) -> Column:
+        col = F.col("name") if m.label == NAME_LABEL else F.col("labels").getItem(m.label)
+        # missing label never matches, even negated ops (vector.rs:56-64)
+        if m.op == "=":
+            return col == F.lit(m.value)
+        if m.op == "!=":
+            return col.isNotNull() & (col != F.lit(m.value))
+        if m.op == "=~":
+            return col.rlike(m.anchored_pattern)
+        return col.isNotNull() & ~col.rlike(m.anchored_pattern)
+
+    def _plan_selector(self, sel: VectorSelector):
+        ctx = self.ctx
+        interval = ctx.interval_ms
+        # a range selector's duration overrides the lookback (vector.rs:29-32)
+        lookback = sel.duration_ms if sel.duration_ms is not None else ctx.lookback_ms
+
+        matched = ctx.samples
+        for m in sel.matchers:
+            matched = matched.filter(self._matcher_filter(m))
+
+        bounds = matched.agg(
+            F.min("ts").alias("_tsmin"), F.max("ts").alias("_tsmax")
+        )
+        anchor = (
+            F.lit(ctx.start_at_ms).cast("long")
+            if ctx.start_at_ms is not None
+            else F.col("_tsmin")
+        )
+        t0 = (anchor + F.lit(min(lookback, interval) - 1)).alias("_t0")
+        params = bounds.select(t0, F.col("_tsmax")).withColumn(
+            # last emitted instant: largest grid point < tsmax + lookback
+            "_kend",
+            F.when(
+                F.col("_tsmax").isNotNull()
+                & (F.col("_tsmax") + F.lit(lookback - 1) >= F.col("_t0")),
+                _floordiv(F.col("_tsmax") + F.lit(lookback - 1) - F.col("_t0"), interval),
+            ),
+        )
+
+        grid = params.filter(F.col("_kend").isNotNull()).select(
+            F.explode(
+                F.sequence(
+                    F.col("_t0"),
+                    F.col("_t0") + F.col("_kend") * F.lit(interval),
+                    F.lit(interval).cast("long"),
+                )
+            ).alias("instant")
+        )
+
+        j = matched.crossJoin(F.broadcast(params.filter(F.col("_kend").isNotNull())))
+        k0 = F.greatest(F.lit(0).cast("long"), _ceildiv(F.col("ts") - F.col("_t0"), interval))
+        k1 = F.least(
+            F.col("_kend"),
+            _floordiv(F.col("ts") + F.lit(lookback - 1) - F.col("_t0"), interval),
+        )
+        served = (
+            j.withColumn("_k0", k0)
+            .withColumn("_k1", k1)
+            .filter(F.col("_k1") >= F.col("_k0"))
+            .select(
+                F.explode(F.sequence("_k0", "_k1")).alias("_k"),
+                "_t0",
+                sig_expr(F.col("labels")).alias("sig"),
+                "labels",
+                "value",
+                "ts",
+                "seq",
+            )
+            .select(
+                (F.col("_t0") + F.col("_k") * F.lit(interval)).alias("instant"),
+                "sig",
+                "labels",
+                "value",
+                "ts",
+                "seq",
+            )
+        )
+
+        if sel.duration_ms is None:
+            # instant vector: latest sample per series in the lookback window
+            cells = served.groupBy("instant", "sig").agg(
+                F.max_by("value", F.struct("ts", "seq")).alias("value"),
+                F.max_by("labels", F.struct("ts", "seq")).alias("labels"),
+            ).select("instant", "sig", "labels", F.col("sig").alias("ord"), "value")
+            return VectorFrame(grid, cells)
+
+        points = served.select(
+            "instant", "sig", "labels", F.col("sig").alias("ord"), "value", "ts", "seq"
+        )
+        return RangeFrame(grid, points)
+
+    # -- unary -----------------------------------------------------------------
+
+    def _plan_unary(self, node: UnaryOperation):
+        inner = self.plan(node.inner)
+        if isinstance(inner, ScalarResult):
+            return ScalarResult(
+                -inner.value if node.op == "-" else inner.value, inner.checks
+            )
+        if isinstance(inner, VectorFrame):
+            if node.op == "+":
+                return inner
+            # '-' keeps __name__ (reference: src/query/unary.rs:14-19)
+            cells = inner.cells.withColumn("value", -F.col("value"))
+            return VectorFrame(inner.grid, cells, inner.checks)
+        raise PqError("unary operator expects a scalar or an instant vector")
+
+    # -- aggregation -------------------------------------------------------------
+
+    def _plan_aggregate(self, node: AggregateOperation):
+        inner = self.plan(node.inner)
+        if not isinstance(inner, VectorFrame):
+            raise PqError("aggregate operators expect an instant vector")
+
+        op = node.op
+        if op in ("quantile", "stddev", "stdvar", "count_values") and not self.ctx.extensions:
+            # parse-only in the reference — evaluator panics
+            # (aggregate.rs:184); enable via extensions=True
+            raise PqError(f"aggregation operator {op} is not implemented")
+
+        glabels = group_labels_expr(F.col("labels"), node.modifier)
+        base = inner.cells.withColumn("_glabels", glabels).withColumn(
+            "_gsig", sig_expr(F.col("_glabels"))
+        )
+
+        if op in ("topk", "bottomk"):
+            from pyspark.sql import Window
+
+            k = max(int(node.argument), 0)
+            order = [F.col("value").desc(), F.col("ord")] if op == "topk" else [
+                F.col("value").asc(),
+                F.col("ord"),
+            ]
+            w = Window.partitionBy("instant", "_gsig").orderBy(*order)
+            cells = (
+                base.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= F.lit(k))
+                .select(
+                    "instant",
+                    "sig",
+                    "labels",  # original labels kept (aggregate.rs:100-165)
+                    F.concat(F.col("_gsig"), F.lit("\x7f"), F.col("sig")).alias("ord"),
+                    "value",
+                )
+            )
+            return VectorFrame(inner.grid, cells, inner.checks)
+
+        g = base.groupBy("instant", "_gsig")
+        if op == "sum":
+            agg = g.agg(F.sum("value").alias("value"), F.first("_glabels").alias("labels"))
+        elif op == "min":
+            agg = g.agg(F.min("value").alias("value"), F.first("_glabels").alias("labels"))
+        elif op == "max":
+            agg = g.agg(F.max("value").alias("value"), F.first("_glabels").alias("labels"))
+        elif op == "avg":
+            agg = g.agg(
+                (F.sum("value") / F.count("value")).alias("value"),
+                F.first("_glabels").alias("labels"),
+            )
+        elif op == "count":
+            # reference quirk (aggregate.rs:30-67): the accumulator is seeded
+            # with the FIRST sample's value (in signature order), then +1 per
+            # further sample ⇒ count == first_value + n − 1.
+            agg = g.agg(
+                (F.min_by("value", "ord") + F.count("value") - 1).alias("value"),
+                F.first("_glabels").alias("labels"),
+            )
+        elif op == "group":
+            # same seeding quirk: single-sample groups keep the value
+            agg = g.agg(
+                F.when(F.count("value") > 1, F.lit(1.0))
+                .otherwise(F.min_by("value", "ord"))
+                .alias("value"),
+                F.first("_glabels").alias("labels"),
+            )
+        elif op == "quantile":
+            q = float(node.argument)
+            agg = g.agg(
+                F.expr(f"percentile(value, {q})").alias("value"),
+                F.first("_glabels").alias("labels"),
+            )
+        elif op == "stddev":
+            agg = g.agg(F.stddev_pop("value").alias("value"), F.first("_glabels").alias("labels"))
+        elif op == "stdvar":
+            agg = g.agg(F.var_pop("value").alias("value"), F.first("_glabels").alias("labels"))
+        elif op == "count_values":
+            lbl = str(node.argument)
+            base2 = base.withColumn(
+                "_glabels",
+                F.map_concat(
+                    F.col("_glabels"),
+                    F.create_map(F.lit(lbl), F.format_number(F.col("value"), "0.######")),
+                ),
+            ).withColumn("_gsig", sig_expr(F.col("_glabels")))
+            agg = base2.groupBy("instant", "_gsig").agg(
+                F.count("value").cast("double").alias("value"),
+                F.first("_glabels").alias("labels"),
+            )
+        else:  # pragma: no cover
+            raise PqError(f"unknown aggregation {op}")
+
+        cells = agg.select(
+            "instant",
+            F.col("_gsig").alias("sig"),
+            "labels",
+            F.col("_gsig").alias("ord"),
+            "value",
+        )
+        return VectorFrame(inner.grid, cells, inner.checks)
+
+    # -- over-time functions -------------------------------------------------------
+
+    def _plan_function(self, node: FunctionCall):
+        name = node.name
+        if name in AGG_OVER_TIME_FUNCS:
+            arg = self.plan(node.args[0])
+            if not isinstance(arg, RangeFrame):
+                raise PqError(f"{name} expects a range vector")
+            return self._over_time(name, arg)
+        if self.ctx.extensions and name in EXTENSION_OVER_TIME_FUNCS:
+            arg = self.plan(node.args[0])
+            if not isinstance(arg, RangeFrame):
+                raise PqError(f"{name} expects a range vector")
+            return self._rate_family(name, arg)
+        if self.ctx.extensions and name in ("clamp", "clamp_max", "clamp_min"):
+            arg = self.plan(node.args[0])
+            if not isinstance(arg, VectorFrame):
+                raise PqError(f"{name} expects an instant vector")
+            return self._clamp(name, arg, node.args[1:])
+        # reference: create_func_evaluator panics "Coming soon..."
+        # (function.rs:27) for clamp*/vector/label_replace
+        raise PqError(f"function {name} is not implemented")
+
+    def _over_time(self, name: str, rf: RangeFrame) -> VectorFrame:
+        g = rf.points.groupBy("instant", "sig")
+        first_labels = F.min_by("labels", F.struct("ts", "seq"))
+        if name == "count_over_time":
+            val = F.count("value").cast("double")
+        elif name == "sum_over_time":
+            val = F.sum("value")
+        elif name == "min_over_time":
+            val = F.min("value")
+        elif name == "max_over_time":
+            val = F.max("value")
+        elif name == "avg_over_time":
+            val = F.sum("value") / F.count("value")
+        elif name == "last_over_time":
+            # reference quirk: iterates the DESC-ordered window and takes
+            # .last() ⇒ the OLDEST point (function.rs:56 + vector.rs:235),
+            # diverging from Prometheus. Replicate with min_by.
+            val = F.min_by("value", F.struct("ts", "seq"))
+        else:  # pragma: no cover
+            raise PqError(f"unknown over-time function {name}")
+
+        agg = g.agg(val.alias("value"), first_labels.alias("labels"))
+        out_labels = _labels_without(F.col("labels"), [])  # drops __name__
+        cells = agg.select(
+            "instant",
+            sig_expr(out_labels).alias("sig"),
+            out_labels.alias("labels"),
+            F.col("sig").alias("ord"),  # original series order
+            "value",
+        )
+        return VectorFrame(rf.grid, cells, rf.checks)
+
+    def _rate_family(self, name: str, rf: RangeFrame) -> VectorFrame:
+        """Extension (NOT in the reference engine): PromQL-style rate family
+        computed as first/last deltas over the same window groups."""
+        g = rf.points.groupBy("instant", "sig")
+        first_v = F.min_by("value", F.struct("ts", "seq"))
+        last_v = F.max_by("value", F.struct("ts", "seq"))
+        first_t = F.min("ts")
+        last_t = F.max("ts")
+        n = F.count("value")
+        agg = g.agg(
+            first_v.alias("_fv"),
+            last_v.alias("_lv"),
+            first_t.alias("_ft"),
+            last_t.alias("_lt"),
+            n.alias("_n"),
+            F.min_by("labels", F.struct("ts", "seq")).alias("labels"),
+        ).filter(F.col("_n") >= 2)
+        span_s = (F.col("_lt") - F.col("_ft")) / F.lit(1000.0)
+        delta = F.col("_lv") - F.col("_fv")
+        if name in ("increase", "delta"):
+            val = delta
+        elif name == "rate":
+            val = delta / span_s
+        elif name in ("irate", "idelta"):
+            # needs the last two points: recompute via sorted window arrays
+            pts = rf.points.groupBy("instant", "sig").agg(
+                F.sort_array(F.collect_list(F.struct("ts", "seq", "value"))).alias("_pts"),
+                F.min_by("labels", F.struct("ts", "seq")).alias("labels"),
+            ).filter(F.size("_pts") >= 2)
+            lastp = F.element_at("_pts", -1)
+            prevp = F.element_at("_pts", -2)
+            d = lastp.getField("value") - prevp.getField("value")
+            if name == "idelta":
+                v = d
+            else:
+                v = d / ((lastp.getField("ts") - prevp.getField("ts")) / F.lit(1000.0))
+            out_labels = _labels_without(F.col("labels"), [])
+            cells = pts.select(
+                "instant",
+                sig_expr(out_labels).alias("sig"),
+                out_labels.alias("labels"),
+                F.col("sig").alias("ord"),
+                v.alias("value"),
+            )
+            return VectorFrame(rf.grid, cells, rf.checks)
+        else:  # pragma: no cover
+            raise PqError(name)
+        out_labels = _labels_without(F.col("labels"), [])
+        cells = agg.select(
+            "instant",
+            sig_expr(out_labels).alias("sig"),
+            out_labels.alias("labels"),
+            F.col("sig").alias("ord"),
+            val.alias("value"),
+        )
+        return VectorFrame(rf.grid, cells, rf.checks)
+
+    def _clamp(self, name: str, vf: VectorFrame, args: list) -> VectorFrame:
+        v = F.col("value")
+        if name == "clamp":
+            mn, mx = float(args[0]), float(args[1])
+            v = F.least(F.greatest(v, F.lit(mn)), F.lit(mx))
+        elif name == "clamp_max":
+            v = F.least(v, F.lit(float(args[0])))
+        else:
+            v = F.greatest(v, F.lit(float(args[0])))
+        out_labels = _labels_without(F.col("labels"), [])
+        cells = vf.cells.select(
+            "instant",
+            sig_expr(out_labels).alias("sig"),
+            out_labels.alias("labels"),
+            "ord",
+            v.alias("value"),
+        )
+        return VectorFrame(vf.grid, cells, vf.checks)
+
+    # -- binary ----------------------------------------------------------------
+
+    def _plan_binary(self, node: BinaryOperation):
+        lhs = self.plan(node.lhs)
+        rhs = self.plan(node.rhs)
+        kind = op_kind(node.op)
+
+        if isinstance(lhs, RangeFrame) or isinstance(rhs, RangeFrame):
+            raise PqError(
+                f"binary operation over range vectors is not supported"
+            )
+
+        if isinstance(lhs, ScalarResult) and isinstance(rhs, ScalarResult):
+            if kind == "comparison" and not node.bool_modifier:
+                raise PqError("comparisons between scalars must use the bool modifier")
+            if kind == "logical":
+                raise PqError("logical operators are not supported between scalars")
+            return ScalarResult(
+                scalar_binop(node.op, lhs.value, rhs.value), lhs.checks + rhs.checks
+            )
+
+        if kind == "logical":
+            if not self.ctx.extensions:
+                # parse-only in the reference: the evaluator panics on the
+                # first matched pair (binary.rs:350)
+                raise PqError(f"logical operator {node.op} is not implemented")
+            return self._logical(node, lhs, rhs)
+
+        if isinstance(lhs, ScalarResult):
+            return self._scalar_vector(node, lhs.value, rhs, scalar_on_left=True)
+        if isinstance(rhs, ScalarResult):
+            return self._scalar_vector(node, rhs.value, lhs, scalar_on_left=False)
+        return self._vector_vector(node, lhs, rhs)
+
+    def _scalar_vector(
+        self, node: BinaryOperation, scalar: float, vf: VectorFrame, scalar_on_left: bool
+    ) -> VectorFrame:
+        kind = op_kind(node.op)
+        keep_name = kind == "comparison" and not node.bool_modifier
+        s = F.lit(scalar)
+        v = F.col("value")
+        l, r = (s, v) if scalar_on_left else (v, s)
+
+        cells = vf.cells
+        if kind == "comparison":
+            pred = _compare_pred(node.op, l, r)
+            if node.bool_modifier:
+                cells = cells.withColumn(
+                    "value", F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+                )
+            else:
+                # filter mode keeps the VECTOR side's sample value
+                # (binary.rs:156-158,216-218 comp_value = s)
+                cells = cells.filter(pred)
+        else:
+            cells = cells.withColumn("value", _binop_col(node.op, l, r))
+
+        if not keep_name:
+            out_labels = _labels_without(F.col("labels"), [])
+            cells = cells.select(
+                "instant",
+                sig_expr(out_labels).alias("sig"),
+                out_labels.alias("labels"),
+                "ord",
+                "value",
+            )
+        return VectorFrame(vf.grid, cells, vf.checks)
+
+    def _grid_merge(self, lgrid: DataFrame, rgrid: DataFrame) -> DataFrame:
+        """Aligned output grid of a vector⊗vector op: the two-pointer merge
+        in the reference (binary.rs:268-295) emits every instant of either
+        grid up to min(max(L), max(R)) — empty vectors where misaligned."""
+        lmax = lgrid.agg(F.max("instant").alias("_lmax"))
+        rmax = rgrid.agg(F.max("instant").alias("_rmax"))
+        cutoff = F.broadcast(lmax.crossJoin(rmax))
+        return (
+            lgrid.union(rgrid)
+            .distinct()
+            .crossJoin(cutoff)
+            .filter(
+                F.col("_lmax").isNotNull()
+                & F.col("_rmax").isNotNull()
+                & (F.col("instant") <= F.least("_lmax", "_rmax"))
+            )
+            .select("instant")
+        )
+
+    def _vector_vector(
+        self, node: BinaryOperation, lhs: VectorFrame, rhs: VectorFrame
+    ) -> VectorFrame:
+        if node.group_modifier is not None:
+            # parsed but unimplemented in the reference (value.rs:131-150)
+            raise PqError("group_left/group_right matching is not implemented")
+
+        kind = op_kind(node.op)
+        keep_name = kind == "comparison" and not node.bool_modifier
+        matching = node.label_matching
+
+        grid = self._grid_merge(lhs.grid, rhs.grid)
+
+        lc = lhs.cells.select(
+            "instant",
+            sig_expr(match_labels_expr(F.col("labels"), matching)).alias("_msig"),
+            match_labels_expr(F.col("labels"), matching).alias("_mlabels"),
+            F.col("labels").getItem(NAME_LABEL).alias("_lname"),
+            F.col("ord").alias("_lord"),
+            F.col("value").alias("_lvalue"),
+        )
+        rc = rhs.cells.select(
+            "instant",
+            sig_expr(match_labels_expr(F.col("labels"), matching)).alias("_msig"),
+            F.col("value").alias("_rvalue"),
+        )
+
+        joined = lc.join(rc, ["instant", "_msig"], "inner")
+
+        l, r = F.col("_lvalue"), F.col("_rvalue")
+        if kind == "comparison":
+            pred = _compare_pred(node.op, l, r)
+            if node.bool_modifier:
+                joined = joined.withColumn(
+                    "_value", F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+                )
+            else:
+                # filter mode keeps the LEFT value (binary.rs:304 comp_value=ls)
+                joined = joined.filter(pred).withColumn("_value", l)
+        else:
+            joined = joined.withColumn("_value", _binop_col(node.op, l, r))
+
+        if keep_name:
+            out_labels = F.when(
+                F.col("_lname").isNotNull(),
+                F.map_concat(
+                    F.col("_mlabels"), F.create_map(F.lit(NAME_LABEL), F.col("_lname"))
+                ),
+            ).otherwise(F.col("_mlabels"))
+        else:
+            out_labels = F.col("_mlabels")
+
+        cells = joined.select(
+            "instant",
+            sig_expr(out_labels).alias("sig"),
+            out_labels.alias("labels"),
+            F.col("_lord").alias("ord"),
+            F.col("_value").alias("value"),
+        )
+
+        checks = list(lhs.checks) + list(rhs.checks)
+        if self.ctx.strict:
+            # duplicate series on the build (rhs) side at aligned instants
+            # (value.rs:86-92); many-to-one after matching (value.rs:114-116)
+            common = rc.join(lhs.grid, "instant", "left_semi")
+            dup_rhs = (
+                common.groupBy("instant", "_msig").count().filter(F.col("count") > 1)
+            )
+            checks.append(
+                Check(dup_rhs, "Found series collision for matching labels")
+            )
+            dup_match = (
+                joined.groupBy("instant", "_msig").count().filter(F.col("count") > 1)
+            )
+            checks.append(
+                Check(
+                    dup_match,
+                    "Many-to-one matching detected! If it's desired, use explicit "
+                    "group_left/group_right modifier",
+                )
+            )
+        return VectorFrame(grid, cells, checks)
+
+    def _logical(self, node: BinaryOperation, lhs, rhs) -> VectorFrame:
+        """Extension semantics (Prometheus-style and/unless/or) — the
+        reference parses these but its evaluator panics."""
+        if not isinstance(lhs, VectorFrame) or not isinstance(rhs, VectorFrame):
+            raise PqError("logical operators expect instant vectors")
+        matching = node.label_matching
+        grid = self._grid_merge(lhs.grid, rhs.grid)
+        lm = lhs.cells.withColumn(
+            "_msig", sig_expr(match_labels_expr(F.col("labels"), matching))
+        )
+        rm = rhs.cells.withColumn(
+            "_msig", sig_expr(match_labels_expr(F.col("labels"), matching))
+        ).select("instant", "_msig")
+        if node.op == "and":
+            cells = lm.join(rm, ["instant", "_msig"], "left_semi").drop("_msig")
+        elif node.op == "unless":
+            cells = lm.join(rm, ["instant", "_msig"], "left_anti").drop("_msig")
+        else:  # or
+            extra = (
+                rhs.cells.withColumn(
+                    "_msig", sig_expr(match_labels_expr(F.col("labels"), matching))
+                )
+                .join(
+                    lm.select("instant", "_msig"),
+                    ["instant", "_msig"],
+                    "left_anti",
+                )
+                .drop("_msig")
+            )
+            cells = lhs.cells.unionByName(extra)
+        return VectorFrame(grid, cells, lhs.checks + rhs.checks)
+
+
+# ---------------------------------------------------------------------------
+# integer division helpers (exact on longs via pmod)
+# ---------------------------------------------------------------------------
+
+
+def _floordiv(a: Column, b: int) -> Column:
+    return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+
+def _ceildiv(a: Column, b: int) -> Column:
+    return ((a + F.pmod(-a, F.lit(b))) / F.lit(b)).cast("long")

@@ -1,0 +1,229 @@
+"""PqEngine — the public façade: program string → Spark plan → results.
+
+Mirrors the reference runner wiring (reference: src/runner.rs:48-131):
+decoder → mapper → query evaluator → formatter, with the same validation
+("'select' without 'map' is not supported") and the same interval/lookback/
+since/until option semantics (src/query/evaluator.rs:26-52).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import PqError
+from ..program import Mapper, ProgramAST, parse_program
+from ..query.ast import Expr, VectorSelector
+from ..timeparse import parse_duration, try_parse_time
+from . import formatter as fmt
+from . import ingest
+from .frames import RangeFrame, ScalarResult, VectorFrame
+from .planner import PlanContext, Planner
+
+ENGINE_CONFS = {
+    # pq arithmetic is IEEE f64 end-to-end; ANSI mode would raise on /0.
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> None:
+    for k, v in ENGINE_CONFS.items():
+        spark.conf.set(k, v)
+
+
+def _count_selectors(node) -> int:
+    from ..query import ast as A
+
+    if isinstance(node, A.VectorSelector):
+        return 1
+    if isinstance(node, A.Parentheses):
+        return _count_selectors(node.inner)
+    if isinstance(node, A.UnaryOperation):
+        return _count_selectors(node.inner)
+    if isinstance(node, A.AggregateOperation):
+        return _count_selectors(node.inner)
+    if isinstance(node, A.BinaryOperation):
+        return _count_selectors(node.lhs) + _count_selectors(node.rhs)
+    if isinstance(node, A.FunctionCall):
+        return sum(_count_selectors(a) for a in node.args if isinstance(a, A.Expr))
+    return 0
+
+
+@dataclass
+class ProgramResult:
+    kind: str  # 'entries' | 'records' | 'query'
+    formatter: str | None
+    entries: DataFrame | None = None
+    records: DataFrame | None = None
+    query_result: object | None = None  # ScalarResult | VectorFrame | RangeFrame
+    _cached: DataFrame | None = None
+
+    def output_lines(self, strict_checks: bool = True) -> list[str]:
+        try:
+            if self.kind == "query":
+                if self.formatter in ("promapi", "json", None):
+                    return fmt.promapi_lines(self.query_result, strict_checks)
+            if self.kind == "entries":
+                return fmt.entries_json_lines(self.entries)
+            if self.kind == "records":
+                return fmt.records_json_lines(self.records)
+            raise PqError(f"no formatter for {self.kind}")
+        finally:
+            if self._cached is not None:
+                self._cached.unpersist()
+
+    def dataframe(self) -> DataFrame:
+        """Relational access to the result (engine-level API)."""
+        if self.kind == "entries":
+            return self.entries
+        if self.kind == "records":
+            return self.records
+        qr = self.query_result
+        if isinstance(qr, VectorFrame):
+            return qr.cells
+        if isinstance(qr, RangeFrame):
+            return qr.points
+        raise PqError("scalar result has no DataFrame form")
+
+
+class PqEngine:
+    """PySpark-native pq engine.
+
+    Parameters
+    ----------
+    strict: run the reference's matching-violation checks (extra small Spark
+        jobs per binary op) — on for conformance tests, off for scale runs.
+    extensions: enable operators the reference only parses (quantile/stddev/
+        stdvar/count_values, clamp*, logical and/unless/or, rate family,
+        avg_over_time parsing is already handled by our parser).
+    """
+
+    def __init__(self, spark: SparkSession, strict: bool = True, extensions: bool = False):
+        self.spark = spark
+        self.strict = strict
+        self.extensions = extensions
+        configure_session(spark)
+
+    # -- program entry point ------------------------------------------------
+
+    def run_program(
+        self,
+        program: str,
+        lines: list[str] | DataFrame,
+        since_ms: int | None = None,
+        until_ms: int | None = None,
+        interval_ms: int | None = None,
+        lookback_ms: int | None = None,
+    ) -> ProgramResult:
+        ast = parse_program(program)
+        lines_df = (
+            lines
+            if isinstance(lines, DataFrame)
+            else ingest.lines_df(self.spark, list(lines))
+        )
+
+        entries = ingest.decode(lines_df, ast.decoder)
+        if ast.mapper is None:
+            if ast.query is not None:
+                raise PqError("'select' without 'map' is not supported for this parser")
+            return ProgramResult("entries", ast.formatter, entries=entries)
+
+        records = ingest.map_records(entries, ast.mapper, since_ms, until_ms)
+        if ast.query is None:
+            return ProgramResult("records", ast.formatter, records=records)
+
+        samples = ingest.samples_from_records(records)
+        cached = None
+        if _count_selectors(ast.query) > 1:
+            samples = samples.cache()
+            cached = samples
+
+        result = self.evaluate(
+            ast.query, samples, since_ms, interval_ms, lookback_ms
+        )
+        return ProgramResult(
+            "query", ast.formatter, query_result=result, _cached=cached
+        )
+
+    # -- query over an arbitrary samples fact table ---------------------------
+
+    def evaluate(
+        self,
+        query: Expr | str,
+        samples: DataFrame,
+        since_ms: int | None = None,
+        interval_ms: int | None = None,
+        lookback_ms: int | None = None,
+    ):
+        if isinstance(query, str):
+            from ..query.parser import parse_expr
+
+            query = parse_expr(query)
+        interval = Planner.infer_interval_ms(query, interval_ms)
+        if interval <= 0:
+            raise PqError("interval must be positive")
+        lookback = lookback_ms if lookback_ms is not None else interval
+        ctx = PlanContext(
+            samples=samples,
+            interval_ms=interval,
+            lookback_ms=lookback,
+            start_at_ms=since_ms,
+            strict=self.strict,
+            extensions=self.extensions,
+        )
+        return Planner(ctx).plan(query)
+
+
+# ---------------------------------------------------------------------------
+# CLI-compatible entry point (golden e2e harness)
+# ---------------------------------------------------------------------------
+
+
+def run_cli(spark: SparkSession, argv: list[str], input_lines: list[str]) -> bytes:
+    """Replicates the reference CLI (reference: src/cliopt.rs, tests/e2e.rs):
+    argv = ["pq", PROGRAM, flags...]; returns the output byte stream."""
+    program = None
+    since = until = None
+    interval = lookback = None
+    extensions = False
+    i = 1
+    while i < len(argv):
+        a = argv[i]
+        if a in ("--since", "-s"):
+            i += 1
+            since = try_parse_time(argv[i])
+            if since is None:
+                raise PqError("couldn't guess time format")
+        elif a in ("--until", "-u"):
+            i += 1
+            until = try_parse_time(argv[i])
+            if until is None:
+                raise PqError("couldn't guess time format")
+        elif a in ("--interval", "-I"):
+            i += 1
+            interval = parse_duration(argv[i])
+        elif a in ("--lookback", "-b"):
+            i += 1
+            lookback = parse_duration(argv[i])
+        elif a in ("-i", "--interactive", "-v", "--verbose"):
+            pass
+        elif program is None:
+            program = a
+        else:
+            raise PqError(f"unexpected CLI argument {a!r}")
+        i += 1
+    if program is None:
+        raise PqError("missing program")
+    if since is not None and until is not None and since > until:
+        raise PqError("end time is before start time")
+
+    engine = PqEngine(spark, strict=True, extensions=extensions)
+    result = engine.run_program(
+        program, input_lines, since_ms=since, until_ms=until,
+        interval_ms=interval, lookback_ms=lookback,
+    )
+    lines = result.output_lines()
+    return ("".join(line + "\n" for line in lines)).encode()

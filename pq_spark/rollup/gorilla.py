@@ -1,0 +1,296 @@
+"""Gorilla-style per-series block compression (delta-of-delta timestamps +
+XOR float values), as a vectorized Arrow/pandas kernel.
+
+Layout per block (our own design, following the public Gorilla paper,
+Pelkonen et al., VLDB 2015 — "Gorilla: A Fast, Scalable, In-Memory Time
+Series Database"):
+
+  header (byte-aligned, little-endian):
+      magic  u16  = 0x4731 ('G1')
+      n      u32  point count
+      t0     i64  first timestamp (ms)
+      v0     f64  first value
+  bitstream (MSB-first), per point i = 1..n-1, interleaved ts then value:
+      timestamp delta-of-delta D (D_1 uses prev_delta = 0):
+          D == 0                → '0'
+          D ∈ [-63, 64]         → '10'   + (D+63)    in 7 bits
+          D ∈ [-255, 256]       → '110'  + (D+255)   in 9 bits
+          D ∈ [-2047, 2048]     → '1110' + (D+2047)  in 12 bits
+          else                  → '1111' + (D+2^31)  in 32 bits
+      value XOR with previous value:
+          xor == 0              → '0'
+          else                  → '11' + lead(5 bits) + (mlen-1)(6 bits)
+                                   + mlen meaningful bits
+          (we always emit the '11' new-window control — a valid but
+          slightly larger Gorilla stream; this removes the sequential
+          window-reuse dependency so the ENCODER is fully vectorizable.
+          The decoder also handles the '10' reuse-window case.)
+
+The encoder is pure numpy (no per-point Python): tokens are built as
+(bits, nbits) arrays, bit offsets via cumsum, and the scatter into the
+bit plane loops only over DISTINCT token widths (≤ ~70 iterations total).
+The decoder is a straightforward sequential bit reader — it is the cold
+path (verification + selective thaw of packed blocks).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_MAGIC = 0x4731
+
+
+# ---------------------------------------------------------------------------
+# vectorized bit helpers
+# ---------------------------------------------------------------------------
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Count leading zeros of uint64 array (x > 0), vectorized."""
+    x = x.copy()
+    n = np.zeros(x.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        hi = (x >> np.uint64(shift)) == 0
+        n = np.where(hi, n + shift, n)
+        x = np.where(hi, x, x >> np.uint64(shift))
+    return n
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Count trailing zeros of uint64 array (x > 0), vectorized."""
+    lowbit = x & (~x + np.uint64(1))
+    return 63 - _clz64(lowbit)
+
+
+def _write_bitstream(bits: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Concatenate (value, width) tokens MSB-first into a byte string.
+
+    Vectorized: one scatter per DISTINCT width, not per token.
+    """
+    nbits = nbits.astype(np.int64)
+    total = int(nbits.sum())
+    plane = np.zeros(total, dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(nbits)[:-1]))
+    for w in np.unique(nbits):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = nbits == w
+        pos = offsets[sel][:, None] + np.arange(w)[None, :]
+        shifts = np.uint64(w - 1) - np.arange(w, dtype=np.uint64)[None, :]
+        vals = (bits[sel][:, None] >> shifts) & np.uint64(1)
+        plane[pos.ravel()] = vals.ravel().astype(np.uint8)
+    return np.packbits(plane).tobytes()
+
+
+def pack_block(ts: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode one sorted series block → Gorilla bytes. Pure numpy."""
+    ts = np.asarray(ts, dtype=np.int64)
+    values = np.asarray(values, dtype=np.float64)
+    n = len(ts)
+    header = struct.pack("<HIqd", _MAGIC, n, int(ts[0]) if n else 0,
+                         float(values[0]) if n else 0.0)
+    if n <= 1:
+        return header
+
+    deltas = np.diff(ts)
+    dod = np.diff(deltas, prepend=np.int64(0))  # D_1 uses prev_delta = 0
+
+    # --- timestamp tokens ---
+    c0 = dod == 0
+    c1 = ~c0 & (dod >= -63) & (dod <= 64)
+    c2 = ~c0 & ~c1 & (dod >= -255) & (dod <= 256)
+    c3 = ~c0 & ~c1 & ~c2 & (dod >= -2047) & (dod <= 2048)
+    c4 = ~(c0 | c1 | c2 | c3)
+
+    ts_bits = np.zeros(n - 1, dtype=np.uint64)
+    ts_nbits = np.zeros(n - 1, dtype=np.int64)
+    ts_nbits[c0] = 1
+    ts_bits[c0] = 0b0
+    ts_nbits[c1] = 2 + 7
+    ts_bits[c1] = (0b10 << 7) | (dod[c1] + 63).astype(np.uint64)
+    ts_nbits[c2] = 3 + 9
+    ts_bits[c2] = (np.uint64(0b110) << np.uint64(9)) | (dod[c2] + 255).astype(np.uint64)
+    ts_nbits[c3] = 4 + 12
+    ts_bits[c3] = (np.uint64(0b1110) << np.uint64(12)) | (dod[c3] + 2047).astype(np.uint64)
+    ts_nbits[c4] = 4 + 32
+    ts_bits[c4] = (np.uint64(0b1111) << np.uint64(32)) | (
+        (dod[c4] + (1 << 31)).astype(np.uint64)
+    )
+
+    # --- value tokens ---
+    raw = values.view(np.uint64)
+    xor = raw[1:] ^ raw[:-1]
+    nz = xor != 0
+
+    lead = np.zeros(n - 1, dtype=np.int64)
+    mlen = np.zeros(n - 1, dtype=np.int64)
+    if nz.any():
+        lz = _clz64(xor[nz])
+        tz = _ctz64(xor[nz])
+        lz = np.minimum(lz, 31)  # 5-bit leading-zero field
+        lead[nz] = lz
+        mlen[nz] = 64 - lz - tz
+
+    # control token: '0' (1 bit) or '11'+5+6 = 13 bits
+    ctl_bits = np.zeros(n - 1, dtype=np.uint64)
+    ctl_nbits = np.ones(n - 1, dtype=np.int64)
+    ctl_nbits[nz] = 13
+    ctl_bits[nz] = (
+        (np.uint64(0b11) << np.uint64(11))
+        | (lead[nz].astype(np.uint64) << np.uint64(6))
+        | (mlen[nz] - 1).astype(np.uint64)
+    )
+
+    # meaningful-bits token (width = mlen, 0 when xor == 0)
+    mean_bits = np.zeros(n - 1, dtype=np.uint64)
+    mean_nbits = np.zeros(n - 1, dtype=np.int64)
+    mean_nbits[nz] = mlen[nz]
+    shift = np.zeros(n - 1, dtype=np.uint64)
+    shift[nz] = (64 - lead[nz] - mlen[nz]).astype(np.uint64)
+    mask = np.zeros(n - 1, dtype=np.uint64)
+    mask[nz] = np.uint64(0xFFFFFFFFFFFFFFFF) >> (64 - mlen[nz]).astype(np.uint64)
+    mean_bits[nz] = (xor[nz] >> shift[nz]) & mask[nz]
+
+    # interleave: ts, ctl, mean per point
+    all_bits = np.stack([ts_bits, ctl_bits, mean_bits], axis=1).ravel()
+    all_nbits = np.stack([ts_nbits, ctl_nbits, mean_nbits], axis=1).ravel()
+    return header + _write_bitstream(all_bits, all_nbits)
+
+
+class _BitReader:
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        for b in self.bits[self.pos : self.pos + n]:
+            out = (out << 1) | int(b)
+        self.pos += n
+        return out
+
+
+def unpack_block(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a Gorilla block → (ts int64[], values float64[])."""
+    magic, n, t0, v0 = struct.unpack_from("<HIqd", blob, 0)
+    if magic != _MAGIC:
+        raise ValueError("bad gorilla block magic")
+    ts = np.empty(n, dtype=np.int64)
+    vals = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return ts, vals
+    ts[0] = t0
+    vals[0] = v0
+    if n == 1:
+        return ts, vals
+
+    r = _BitReader(blob[struct.calcsize("<HIqd"):])
+    prev_delta = 0
+    prev_raw = int(np.array([v0], dtype=np.float64).view(np.uint64)[0])
+    prev_lead, prev_mlen = 0, 0
+    for i in range(1, n):
+        # timestamp
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            dod = r.read(32) - (1 << 31)
+        prev_delta += dod
+        ts[i] = ts[i - 1] + prev_delta
+        # value
+        if r.read(1) == 0:
+            raw = prev_raw
+        else:
+            if r.read(1) == 1:  # new window
+                prev_lead = r.read(5)
+                prev_mlen = r.read(6) + 1
+            meaningful = r.read(prev_mlen)
+            raw = prev_raw ^ (meaningful << (64 - prev_lead - prev_mlen))
+        vals[i] = struct.unpack("<d", struct.pack("<Q", raw))[0]
+        prev_raw = raw
+    return ts, vals
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level pack/unpack
+# ---------------------------------------------------------------------------
+
+PACKED_SCHEMA = (
+    "sig string, block_ts long, name string, labels map<string,string>, "
+    "n long, raw_bytes long, blob binary"
+)
+
+
+def pack_blocks(samples: DataFrame, block_ms: int = 3_600_000) -> DataFrame:
+    """samples (seq, ts, name, labels, value) → one Gorilla blob per
+    (series, block). ``applyInPandas`` over sorted, salt-free groups — the
+    block key itself spreads hot series across reducers (a hot domain's
+    points split over time blocks), the paper's own sharding scheme.
+    """
+    from ..engine.planner import sig_expr
+
+    keyed = samples.select(
+        sig_expr(F.col("labels")).alias("sig"),
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(block_ms))).alias("block_ts"),
+        "name", "labels", "ts", "seq", "value",
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "seq"], kind="mergesort")
+        ts = pdf["ts"].to_numpy(dtype=np.int64)
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        blob = pack_block(ts, vals)
+        return pd.DataFrame(
+            {
+                "sig": [pdf["sig"].iloc[0]],
+                "block_ts": [pdf["block_ts"].iloc[0]],
+                "name": [pdf["name"].iloc[0]],
+                "labels": [pdf["labels"].iloc[0]],
+                "n": [len(ts)],
+                "raw_bytes": [len(ts) * 16],
+                "blob": [blob],
+            }
+        )
+
+    return keyed.groupBy("sig", "block_ts").applyInPandas(encode, PACKED_SCHEMA)
+
+
+UNPACKED_SCHEMA = "sig string, name string, labels map<string,string>, ts long, value double"
+
+
+def unpack_blocks(packed: DataFrame) -> DataFrame:
+    """Inverse of pack_blocks (round-trip / selective thaw)."""
+
+    def decode(batches):
+        for pdf in batches:
+            out_sig, out_name, out_labels, out_ts, out_val = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                ts, vals = unpack_block(bytes(row["blob"]))
+                out_sig.extend([row["sig"]] * len(ts))
+                out_name.extend([row["name"]] * len(ts))
+                out_labels.extend([row["labels"]] * len(ts))
+                out_ts.extend(ts.tolist())
+                out_val.extend(vals.tolist())
+            yield pd.DataFrame(
+                {
+                    "sig": out_sig,
+                    "name": out_name,
+                    "labels": out_labels,
+                    "ts": out_ts,
+                    "value": out_val,
+                }
+            )
+
+    return packed.mapInPandas(decode, UNPACKED_SCHEMA)

@@ -1,0 +1,185 @@
+"""Continuous-aggregate tiers: 1m → 1h → 1d rollup cascade + gap-fill.
+
+The north rule's retention pipeline: per-series extraction events are
+bucketed into 1m/1h/1d tiers carrying *algebraic partials*
+(count/sum/min/max + first/last with timestamps) so that
+
+- every higher tier re-aggregates the tier below it EXACTLY (sum of counts,
+  min of mins, first-by-earliest-ts, …) — never re-reading raw data;
+- avg is derived (sum/count), matching pq's two-accumulator avg
+  (reference: src/query/aggregate.rs:71-98);
+- gap-fill with staleness-aware lookback reproduces pq's instant-vector
+  selector semantics (reference: src/query/vector.rs:205-223): a bucket
+  with no data carries the last value within ``lookback``, and is absent
+  beyond it.
+
+Scale design (100 TB):
+- one shuffle per tier, keyed by (bucket_ts, sig). Map-side partial
+  aggregation is automatic for these algebraic functions.
+- hot series (Zipfian domains) are handled by an optional salted two-phase
+  aggregation: phase 1 groups by (bucket, sig, salt) — spreading a hot key
+  over ``salt_buckets`` reducers — phase 2 merges partials. All partials
+  are algebraic, so this is exact.
+- tier tables are tiny relative to raw data (1m tier ≈ #series × minutes),
+  so the 1h/1d cascade costs ~nothing; AQE coalesces the small shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..engine.planner import sig_expr
+
+TIER_MS = {"1m": 60_000, "1h": 3_600_000, "1d": 86_400_000}
+
+PARTIAL_COLS = [
+    "cnt", "sum", "min", "max", "first_ts", "first_val", "last_ts", "last_val",
+]
+
+
+def _bucket(ts: Column, tier_ms: int) -> Column:
+    return ts - F.pmod(ts, F.lit(tier_ms))
+
+
+def rollup_tier(
+    samples: DataFrame,
+    tier: str | int,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Raw samples → one tier of partial aggregates.
+
+    Output: (bucket_ts long, sig string, name string,
+             labels map<string,string>, cnt, sum, min, max,
+             first_ts, first_val, last_ts, last_val).
+    """
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    base = samples.select(
+        _bucket(F.col("ts"), tier_ms).alias("bucket_ts"),
+        sig_expr(F.col("labels")).alias("sig"),
+        "name",
+        "labels",
+        "ts",
+        "seq",
+        "value",
+    )
+
+    def aggs(g):
+        return g.agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.min("ts").alias("first_ts"),
+            F.min_by("value", F.struct("ts", "seq")).alias("first_val"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("value", F.struct("ts", "seq")).alias("last_val"),
+            F.first("name").alias("name"),
+            F.first("labels").alias("labels"),
+        )
+
+    if salt_buckets > 1:
+        # two-phase: spread hot (bucket, sig) keys over salt_buckets reducers
+        phase1 = aggs(
+            base.withColumn("_salt", F.pmod(F.col("seq"), F.lit(salt_buckets)))
+            .groupBy("bucket_ts", "sig", "_salt")
+        )
+        merged = _merge_partials(phase1.drop("_salt"))
+    else:
+        merged = aggs(base.groupBy("bucket_ts", "sig"))
+
+    return merged.select(
+        "bucket_ts", "sig", "name", "labels", *PARTIAL_COLS
+    )
+
+
+def _merge_partials(partials: DataFrame) -> DataFrame:
+    """Exact merge of partial-aggregate rows sharing (bucket_ts, sig)."""
+    return (
+        partials.groupBy("bucket_ts", "sig")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.min("first_ts").alias("first_ts"),
+            F.min_by("first_val", "first_ts").alias("first_val"),
+            F.max("last_ts").alias("last_ts"),
+            F.max_by("last_val", "last_ts").alias("last_val"),
+            F.first("name").alias("name"),
+            F.first("labels").alias("labels"),
+        )
+        .select("bucket_ts", "sig", "name", "labels", *PARTIAL_COLS)
+    )
+
+
+def tier_from_tier(lower: DataFrame, tier: str | int) -> DataFrame:
+    """Re-aggregate a lower tier into a coarser one — exact, never touching
+    raw data (the continuous-aggregate cascade)."""
+    tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    rebucketed = lower.withColumn("bucket_ts", _bucket(F.col("bucket_ts"), tier_ms))
+    return _merge_partials(rebucketed)
+
+
+def rollup_cascade(
+    samples: DataFrame, tiers: list[str] = ("1m", "1h", "1d"), salt_buckets: int = 0
+) -> dict[str, DataFrame]:
+    """Full cascade: raw → tiers[0] → tiers[1] → … (each from the previous)."""
+    out: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for t in tiers:
+        if prev is None:
+            prev = rollup_tier(samples, t, salt_buckets=salt_buckets)
+        else:
+            prev = tier_from_tier(prev, t)
+        out[t] = prev
+    return out
+
+
+def gapfill(
+    tier_df: DataFrame,
+    tier_ms: int,
+    lookback_buckets: int = 1,
+    value_col: str = "last_val",
+) -> DataFrame:
+    """Explicit gap-fill with staleness-aware lookback (pq instant-vector
+    semantics at interval == tier): every bucket in [min, max] of the global
+    bucket range gets, per series, the latest value whose bucket is within
+    ``lookback_buckets`` behind; series with no value in the window are
+    absent (stale), exactly like pq's lookback window (vector.rs:205-223).
+
+    Implemented with the same serving-instant explode as the query planner:
+    each tier row serves the next ``lookback_buckets`` buckets; latest wins.
+    Output: (bucket_ts, sig, name, labels, value, filled boolean).
+    """
+    lb_ms = lookback_buckets * tier_ms
+
+    bounds = tier_df.agg(
+        F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
+    )
+    served = (
+        tier_df.crossJoin(F.broadcast(bounds))
+        .select(
+            "sig", "name", "labels", "bucket_ts",
+            F.col(value_col).alias("_v"),
+            F.explode(
+                F.sequence(
+                    F.col("bucket_ts"),
+                    F.least(F.col("_hi"), F.col("bucket_ts") + F.lit(lb_ms - tier_ms)),
+                    F.lit(tier_ms).cast("long"),
+                )
+            ).alias("_serve"),
+        )
+    )
+    return (
+        served.groupBy(F.col("_serve").alias("bucket_ts"), "sig")
+        .agg(
+            F.max_by("_v", "bucket_ts").alias("value"),
+            F.max("bucket_ts").alias("_src"),
+            F.first("name").alias("name"),
+            F.first("labels").alias("labels"),
+        )
+        .select(
+            "bucket_ts", "sig", "name", "labels", "value",
+            (F.col("_src") != F.col("bucket_ts")).alias("filled"),
+        )
+    )

@@ -1,0 +1,177 @@
+"""Rollup pipeline tests: tier exactness, gap-fill semantics, Gorilla
+round-trip at DataFrame level, lineage resume, extraction invariant."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pq_spark.rollup import (
+    gapfill,
+    page_samples,
+    rollup_cascade,
+    rollup_tier,
+    synth_pages,
+    tier_from_tier,
+)
+from pq_spark.rollup import gorilla
+from pq_spark.rollup.lineage import TierStore, with_date
+from pq_spark.rollup.pages import extract_text_udf
+from pq_spark.rollup.pipeline import run_pipeline, verify_extraction
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, 2000, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def samples(spark, pages):
+    return page_samples(pages).cache()
+
+
+def test_synth_pages_deterministic(spark):
+    a = synth_pages(spark, 500, seed=42).orderBy("url").collect()
+    b = synth_pages(spark, 500, seed=42, partitions=7).orderBy("url").collect()
+    assert a == b  # partitioning-independent
+
+
+def test_extraction_byte_identical(spark, pages):
+    assert verify_extraction(pages) == 0
+
+
+def test_extraction_is_pure_function(spark, pages):
+    # same html bytes → same text, regardless of row order
+    one = pages.limit(50).withColumn("_t", extract_text_udf()(F.col("html")))
+    rows = one.select("text", "_t").collect()
+    for r in rows:
+        assert r["text"] == r["_t"]
+
+
+def test_tier_1m_matches_direct_groupby(spark, samples):
+    tier = rollup_tier(samples, "1m")
+    # cross-check totals (full-join equality is covered by the cascade test)
+    t = tier.agg(F.sum("cnt"), F.sum("sum"), F.min("min"), F.max("max")).collect()[0]
+    s = samples.agg(F.count("value"), F.sum("value"), F.min("value"), F.max("value")).collect()[0]
+    assert t[0] == s[0]
+    assert abs(t[1] - s[1]) < 1e-6 * max(1.0, abs(s[1]))
+    assert t[2] == s[2] and t[3] == s[3]
+
+
+def test_cascade_exact_reaggregation(spark, samples):
+    """1h from 1m must equal 1h computed directly from raw samples."""
+    tiers = rollup_cascade(samples, ["1m", "1h", "1d"])
+    direct_1h = rollup_tier(samples, "1h")
+    cascaded_1h = tiers["1h"]
+
+    key = ["bucket_ts", "sig"]
+    cols = ["cnt", "sum", "min", "max", "first_ts", "first_val", "last_ts", "last_val"]
+    j = (
+        direct_1h.select(*key, *[F.col(c).alias(f"d_{c}") for c in cols])
+        .join(cascaded_1h.select(*key, *cols), key, "full_outer")
+    )
+    assert j.filter(F.col("cnt").isNull() | F.col("d_cnt").isNull()).count() == 0
+    bad = j.filter(
+        (F.col("d_cnt") != F.col("cnt"))
+        | (F.abs(F.col("d_sum") - F.col("sum")) > 1e-9 * F.greatest(F.abs("d_sum"), F.lit(1.0)))
+        | (F.col("d_min") != F.col("min"))
+        | (F.col("d_max") != F.col("max"))
+        | (F.col("d_first_ts") != F.col("first_ts"))
+        | (F.col("d_first_val") != F.col("first_val"))
+        | (F.col("d_last_ts") != F.col("last_ts"))
+        | (F.col("d_last_val") != F.col("last_val"))
+    ).count()
+    assert bad == 0
+
+    # salted two-phase must be identical to unsalted
+    salted = rollup_tier(samples, "1m", salt_buckets=8)
+    unsalted = tiers["1m"]
+    jj = (
+        salted.select(*key, F.col("cnt").alias("s_cnt"), F.col("first_val").alias("s_fv"))
+        .join(unsalted.select(*key, "cnt", "first_val"), key, "full_outer")
+    )
+    assert jj.filter(
+        (F.col("s_cnt") != F.col("cnt")) | (F.col("s_fv") != F.col("first_val"))
+    ).count() == 0
+
+
+def test_gapfill_staleness(spark):
+    # series with a hole at bucket 2 and a long gap after bucket 3
+    rows = [
+        (1, 0 * 60000, "m", {"__name__": "m"}, 1.0),
+        (2, 1 * 60000, "m", {"__name__": "m"}, 2.0),
+        # bucket 2 empty
+        (3, 3 * 60000, "m", {"__name__": "m"}, 4.0),
+        # buckets 4..9 empty
+        (4, 9 * 60000, "m", {"__name__": "m"}, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, ts long, name string, labels map<string,string>, value double"
+    )
+    tier = rollup_tier(df, "1m")
+    filled = gapfill(tier, 60000, lookback_buckets=2).orderBy("bucket_ts").collect()
+    got = {r["bucket_ts"] // 60000: (r["value"], r["filled"]) for r in filled}
+    assert got[0] == (1.0, False)
+    assert got[1] == (2.0, False)
+    assert got[2] == (2.0, True)   # carried within lookback
+    assert got[3] == (4.0, False)
+    assert got[4] == (4.0, True)   # carried once
+    assert 5 not in got            # stale beyond lookback
+    assert 8 not in got
+    assert got[9] == (10.0, False)
+
+
+def test_gorilla_spark_roundtrip(spark, samples):
+    packed = gorilla.pack_blocks(samples, block_ms=3_600_000)
+    unpacked = gorilla.unpack_blocks(packed)
+    orig = samples.groupBy().agg(
+        F.count("*").alias("n"), F.sum("value").alias("s"),
+        F.sum(F.col("ts")).alias("st"),
+    ).collect()[0]
+    back = unpacked.groupBy().agg(
+        F.count("*").alias("n"), F.sum("value").alias("s"),
+        F.sum(F.col("ts")).alias("st"),
+    ).collect()[0]
+    assert orig["n"] == back["n"]
+    assert orig["st"] == back["st"]
+    assert abs(orig["s"] - back["s"]) <= 1e-9 * max(1.0, abs(orig["s"]))
+    # per-point check on one series
+    sig = packed.select("sig").first()["sig"]
+    a = sorted(
+        (r["ts"], r["value"])
+        for r in samples.withColumn("_sig", F.expr(
+            "array_join(transform(array_sort(map_entries(labels)), e -> concat(e.key, 'ÿ', e.value)), '')"
+        )).filter(F.col("_sig") == sig).select("ts", "value").collect()
+    )
+    b = sorted((r["ts"], r["value"]) for r in unpacked.filter(F.col("sig") == sig).select("ts", "value").collect())
+    assert a == b
+
+
+def test_lineage_resume(spark, tmp_path, samples):
+    store = TierStore(str(tmp_path))
+    tier = with_date(rollup_tier(samples, "1h"))
+
+    r1 = store.commit(tier, "tier_1h")
+    assert r1.written and not r1.skipped
+
+    r2 = store.commit(tier, "tier_1h")
+    assert not r2.written and len(r2.skipped) == len(r1.written)
+
+    # changed input for one date → only that partition rewritten
+    one_date = r1.written[0]
+    bumped = tier.withColumn(
+        "cnt",
+        F.when(F.col("date") == one_date, F.col("cnt") + 1).otherwise(F.col("cnt")),
+    )
+    r3 = store.commit(bumped, "tier_1h")
+    assert r3.written == [one_date]
+    assert set(r3.skipped) == set(r1.written) - {one_date}
+
+
+def test_full_pipeline(spark, tmp_path, pages):
+    metrics = run_pipeline(spark, pages, str(tmp_path / "tiers"), salt_buckets=4)
+    assert metrics["rolled_up_points"] > 0
+    assert metrics["points_per_sec"] > 0
+    # resume: re-run skips everything
+    m2 = run_pipeline(spark, pages, str(tmp_path / "tiers"), salt_buckets=4)
+    assert m2["stages"]["tier_1m"]["partitions_written"] == 0
+    assert m2["stages"]["tier_1d"]["partitions_written"] == 0

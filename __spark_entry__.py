@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+training-data ops); each takes (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — equivalent DuckDB SQL per query (omitted only for the
+approximate ANN search, which has no exact relational form).
+
+All real logic lives in ``pq_spark.driver_queries`` (registry) backed by
+``pq_spark.engine`` (the query engine), ``pq_spark.rollup`` (tier cascade)
+and ``pq_spark.textops`` (dedup / similarity / text analysis).
 """
 
 from __future__ import annotations
@@ -15,24 +19,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PromQL-grid aggregation over the events stream at sf0.001
+    (sum by (event_type) of the gap-filled instant vector)."""
+    from pq_spark.driver_queries import QUERIES
+
+    return QUERIES["pq_sum_by_et"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pq_spark.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pq_spark.driver_queries import ORACLES
+
+    return dict(ORACLES)

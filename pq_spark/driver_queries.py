@@ -1,0 +1,612 @@
+"""Driver-contract queries: every implemented operator exposed as a
+(spark, sf_dir) → DataFrame callable plus an equivalent DuckDB oracle SQL.
+
+Conventions (the driver hash-compares values by sorted column name):
+- every computed column is aliased identically in Spark and SQL;
+- timestamps are epoch-ms BIGINTs, never timestamp types;
+- floats are computed in double precision with identical operation order,
+  rounded with round(x, 6) where an accumulation order could differ;
+- tie-breaks are always explicit on (ts_ms, event_id).
+
+The PromQL-grid queries run with ``--since 2024-01-01T00:00:00Z`` so every
+selector anchors at the same t0 (reference: src/query/vector.rs:37) — the
+oracle SQL then reproduces the grid arithmetic
+``t0 = since + min(lookback, interval) − 1`` in plain SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import textops
+from .engine.ingest import samples_from_table
+from .engine.runner import PqEngine
+from .rollup.tiers import gapfill, rollup_tier, tier_from_tier
+
+SINCE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+MIN_MS = 60_000
+DAY_MS = 86_400_000
+
+# ---------------------------------------------------------------------------
+# events → samples (labels {et, ub}, metric 'value', seq = event_id)
+# ---------------------------------------------------------------------------
+
+
+def event_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        F.col("event_id"),
+        # parquet stores TIMESTAMP_NTZ; session tz is UTC so the cast is
+        # the identity epoch mapping (matches DuckDB epoch_ms)
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("event_type").alias("et"),
+        (F.col("user_id") % 10).cast("string").alias("ub"),
+        F.col("value"),
+    )
+    return samples_from_table(
+        src,
+        ts_col="ts_ms",
+        value_cols=["value"],
+        label_cols=["et", "ub"],
+        seq_col="event_id",
+        ts_unit="ms",
+        with_line_metric=False,
+    )
+
+
+def _engine(spark) -> PqEngine:
+    return PqEngine(spark, strict=False, extensions=True)
+
+
+def _cells(spark, sf_dir, expr, interval_ms, label_cols=("et", "ub"),
+           value_alias="value", round6=False):
+    vf = _engine(spark).evaluate(
+        expr, event_samples(spark, sf_dir), since_ms=SINCE_MS, interval_ms=interval_ms
+    )
+    cols = [F.col("instant")]
+    cols += [F.col("labels").getItem(c).alias(c) for c in label_cols]
+    # float accumulations are rounded to 6 dp on BOTH sides: summation order
+    # differs between Spark partial aggs and DuckDB, so raw sums can differ
+    # in the last ulp; inputs have ≤2 decimals so 6 dp is exact-safe.
+    v = F.round(F.col("value"), 6) if round6 else F.col("value")
+    cols += [v.alias(value_alias)]
+    return vf.cells.select(*cols)
+
+
+# SQL building blocks -------------------------------------------------------
+
+_S_CTE = """
+s AS (
+  SELECT epoch_ms(ts) AS ts_ms, event_id, event_type AS et,
+         CAST(user_id % 10 AS VARCHAR) AS ub, value
+  FROM events
+)"""
+
+
+def _grid_cte(interval: int, lookback: int) -> str:
+    t0 = SINCE_MS + min(lookback, interval) - 1
+    return f"""
+b AS (SELECT {t0} AS t0, max(ts_ms) AS tsmax FROM s),
+g AS (
+  SELECT unnest(generate_series(
+    t0, t0 + ((tsmax + {lookback - 1} - t0) // {interval}) * {interval},
+    {interval})) AS instant
+  FROM b
+)"""
+
+
+def _latest_cte(lookback: int) -> str:
+    """Per-(instant, series) latest sample within the lookback window —
+    pq's instant-vector selector (vector.rs:205-223)."""
+    return f"""
+latest AS (
+  SELECT instant, et, ub, value FROM (
+    SELECT g.instant, s.et, s.ub, s.value,
+           row_number() OVER (PARTITION BY g.instant, s.et, s.ub
+                              ORDER BY s.ts_ms DESC, s.event_id DESC) AS rn
+    FROM g JOIN s ON s.ts_ms > g.instant - {lookback} AND s.ts_ms <= g.instant
+  ) WHERE rn = 1
+)"""
+
+
+def _window_cte(window: int) -> str:
+    """All samples per (instant, series, window) — pq's range selector."""
+    return f"""
+win AS (
+  SELECT g.instant, s.et, s.ub, s.value, s.ts_ms, s.event_id
+  FROM g JOIN s ON s.ts_ms > g.instant - {window} AND s.ts_ms <= g.instant
+)"""
+
+
+# ---------------------------------------------------------------------------
+# query + oracle registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn, sql: str | None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+# -- 1. instant vector selector ------------------------------------------------
+
+register(
+    "pq_instant_vector",
+    lambda spark, sf: _cells(spark, sf, "value", MIN_MS),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, ub, value FROM latest",
+)
+
+# -- 2-5. aggregations ---------------------------------------------------------
+
+register(
+    "pq_sum",
+    lambda spark, sf: _cells(spark, sf, "sum(value)", MIN_MS, (), "sum_value", round6=True),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, round(sum(value), 6) AS sum_value FROM latest GROUP BY instant",
+)
+
+register(
+    "pq_sum_by_et",
+    lambda spark, sf: _cells(spark, sf, "sum by (et) (value)", MIN_MS, ("et",), "sum_value", round6=True),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, round(sum(value), 6) AS sum_value FROM latest GROUP BY instant, et",
+)
+
+register(
+    "pq_avg_by_et",
+    lambda spark, sf: _cells(spark, sf, "avg by (et) (value)", MIN_MS, ("et",), "avg_value", round6=True),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, round(sum(value)/count(value), 6) AS avg_value "
+    "FROM latest GROUP BY instant, et",
+)
+
+register(
+    "pq_max_by_et",
+    lambda spark, sf: _cells(spark, sf, "max by (et) (value)", MIN_MS, ("et",), "max_value"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, max(value) AS max_value FROM latest GROUP BY instant, et",
+)
+
+register(
+    "pq_min_by_et",
+    lambda spark, sf: _cells(spark, sf, "min by (et) (value)", MIN_MS, ("et",), "min_value"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, min(value) AS min_value FROM latest GROUP BY instant, et",
+)
+
+# -- 6-9. over-time functions (range [5m] at 1m grid → sliding window) ----------
+
+_W5 = 5 * MIN_MS
+
+register(
+    "pq_count_over_time",
+    lambda spark, sf: _cells(spark, sf, "count_over_time(value[5m])", MIN_MS,
+                             ("et", "ub"), "points"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, _W5)}, {_window_cte(_W5)} "
+    "SELECT instant, et, ub, CAST(count(*) AS DOUBLE) AS points "
+    "FROM win GROUP BY instant, et, ub",
+)
+
+register(
+    "pq_sum_over_time",
+    lambda spark, sf: _cells(spark, sf, "sum_over_time(value[5m])", MIN_MS,
+                             ("et", "ub"), "sum_win", round6=True),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, _W5)}, {_window_cte(_W5)} "
+    "SELECT instant, et, ub, round(sum(value), 6) AS sum_win FROM win GROUP BY instant, et, ub",
+)
+
+register(
+    "pq_avg_over_time",
+    lambda spark, sf: _cells(spark, sf, "avg_over_time(value[5m])", MIN_MS,
+                             ("et", "ub"), "avg_win", round6=True),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, _W5)}, {_window_cte(_W5)} "
+    "SELECT instant, et, ub, round(sum(value)/count(*), 6) AS avg_win "
+    "FROM win GROUP BY instant, et, ub",
+)
+
+register(
+    # reference quirk: last_over_time returns the OLDEST point in the window
+    # (function.rs:56 over the desc-ordered buffer)
+    "pq_last_over_time",
+    lambda spark, sf: _cells(spark, sf, "last_over_time(value[5m])", MIN_MS,
+                             ("et", "ub"), "last_win"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, _W5)}, {_window_cte(_W5)} "
+    "SELECT instant, et, ub, last_win FROM ("
+    "  SELECT instant, et, ub, value AS last_win,"
+    "         row_number() OVER (PARTITION BY instant, et, ub"
+    "                            ORDER BY ts_ms ASC, event_id ASC) AS rn"
+    "  FROM win) WHERE rn = 1",
+)
+
+# -- 10-11. binary vector⊗scalar -------------------------------------------------
+
+register(
+    "pq_arith_vector_scalar",
+    lambda spark, sf: _cells(spark, sf, "value * 2 + 1", MIN_MS, ("et", "ub"), "value_adj"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, ub, value * 2 + 1 AS value_adj FROM latest",
+)
+
+register(
+    "pq_filter_gt",
+    lambda spark, sf: _cells(spark, sf, "value > 10", MIN_MS, ("et", "ub"), "value"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, ub, value FROM latest WHERE value > 10",
+)
+
+# -- 12. vector matching one-to-one ----------------------------------------------
+
+register(
+    "pq_vector_matching",
+    lambda spark, sf: _cells(
+        spark, sf, 'value{et="click"} + on(ub) value{et="error"}', MIN_MS,
+        ("ub",), "value_sum",
+    ),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT a.instant, a.ub, a.value + b.value AS value_sum "
+    "FROM (SELECT * FROM latest WHERE et = 'click') a "
+    "JOIN (SELECT * FROM latest WHERE et = 'error') b "
+    "USING (instant, ub)",
+)
+
+# -- 13. rate (extension; sliding 1h window at 10m grid) --------------------------
+
+_W1H = 3_600_000
+_I10 = 600_000
+
+register(
+    "pq_rate_1h",
+    lambda spark, sf: _cells(spark, sf, "rate(value[1h])", _I10, ("et", "ub"), "rate_s", round6=True),
+    f"WITH {_S_CTE}, {_grid_cte(_I10, _W1H)}, {_window_cte(_W1H)} "
+    "SELECT instant, et, ub, round((lv - fv) / ((lt - ft) / 1000.0), 6) AS rate_s FROM ("
+    "  SELECT instant, et, ub,"
+    "         min(ts_ms) AS ft, max(ts_ms) AS lt, count(*) AS n,"
+    "         arg_min(value, ts_ms * 1000000 + event_id) AS fv,"
+    "         arg_max(value, ts_ms * 1000000 + event_id) AS lv"
+    "  FROM win GROUP BY instant, et, ub) WHERE n >= 2 AND lt > ft",
+)
+
+# ---------------------------------------------------------------------------
+# tier / retention family
+# ---------------------------------------------------------------------------
+
+
+def _flatten_tier(tier: DataFrame) -> DataFrame:
+    return tier.select(
+        "bucket_ts",
+        F.col("labels").getItem("et").alias("et"),
+        F.col("labels").getItem("ub").alias("ub"),
+        F.col("cnt"),
+        F.round(F.col("sum"), 6).alias("sum_v"),
+        F.col("min").alias("min_v"),
+        F.col("max").alias("max_v"),
+        F.col("first_val").alias("first_v"),
+        F.col("last_val").alias("last_v"),
+    )
+
+
+def _tier_sql(bucket_ms: int) -> str:
+    return f"""WITH {_S_CTE},
+r AS (
+  SELECT ts_ms - (ts_ms % {bucket_ms}) AS bucket_ts, et, ub, value, ts_ms, event_id,
+         row_number() OVER (PARTITION BY ts_ms - (ts_ms % {bucket_ms}), et, ub
+                            ORDER BY ts_ms ASC, event_id ASC) AS rna,
+         row_number() OVER (PARTITION BY ts_ms - (ts_ms % {bucket_ms}), et, ub
+                            ORDER BY ts_ms DESC, event_id DESC) AS rnd
+  FROM s
+)
+SELECT bucket_ts, et, ub,
+       count(*) AS cnt, round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,
+       max(CASE WHEN rna = 1 THEN value END) AS first_v,
+       max(CASE WHEN rnd = 1 THEN value END) AS last_v
+FROM r GROUP BY bucket_ts, et, ub"""
+
+
+def _tier_query(bucket: str):
+    def q(spark, sf):
+        return _flatten_tier(rollup_tier(event_samples(spark, sf), bucket))
+
+    return q
+
+
+def _cascade_query(levels: list[str]):
+    def q(spark, sf):
+        t = rollup_tier(event_samples(spark, sf), levels[0])
+        for lvl in levels[1:]:
+            t = tier_from_tier(t, lvl)
+        return _flatten_tier(t)
+
+    return q
+
+
+register("tier_1m", _tier_query("1m"), _tier_sql(60_000))
+# cascaded tiers must equal direct SQL rollups at the coarser bucket —
+# that IS the exact-reaggregation guarantee
+register("tier_1h_cascade", _cascade_query(["1m", "1h"]), _tier_sql(3_600_000))
+register("tier_1d_cascade", _cascade_query(["1m", "1h", "1d"]), _tier_sql(86_400_000))
+
+
+def _gapfill_query(spark, sf):
+    samples = event_samples(spark, sf)
+    day1 = samples.filter(F.col("ts") < SINCE_MS + DAY_MS)
+    tier = rollup_tier(day1, "1m")
+    out = gapfill(tier, 60_000, lookback_buckets=5)
+    return out.select(
+        "bucket_ts",
+        F.col("labels").getItem("et").alias("et"),
+        F.col("labels").getItem("ub").alias("ub"),
+        F.col("value"),
+        F.col("filled"),
+    )
+
+
+_GAPFILL_SQL = f"""WITH {_S_CTE},
+s1 AS (SELECT * FROM s WHERE ts_ms < {SINCE_MS + DAY_MS}),
+t AS (
+  SELECT bucket_ts, et, ub, max(CASE WHEN rnd = 1 THEN value END) AS last_v
+  FROM (
+    SELECT ts_ms - (ts_ms % 60000) AS bucket_ts, et, ub, value,
+           row_number() OVER (PARTITION BY ts_ms - (ts_ms % 60000), et, ub
+                              ORDER BY ts_ms DESC, event_id DESC) AS rnd
+    FROM s1
+  ) GROUP BY bucket_ts, et, ub
+),
+bounds AS (SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM t),
+g AS (SELECT unnest(generate_series(lo, hi, 60000)) AS bucket_ts FROM bounds)
+SELECT bucket_ts, et, ub, value, filled FROM (
+  SELECT g.bucket_ts, t.et, t.ub, t.last_v AS value,
+         (t.bucket_ts <> g.bucket_ts) AS filled,
+         row_number() OVER (PARTITION BY g.bucket_ts, t.et, t.ub
+                            ORDER BY t.bucket_ts DESC) AS rn
+  FROM g JOIN t ON t.bucket_ts <= g.bucket_ts
+                AND t.bucket_ts > g.bucket_ts - {5 * 60_000}
+) WHERE rn = 1"""
+
+register("gapfill_1m_day1", _gapfill_query, _GAPFILL_SQL)
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_SHINGLE_CTE = f"""
+w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+ix AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM w),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(ws) >= 3 THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+              ELSE array_to_string(ws, ' ') END AS sh
+  FROM ix
+)"""
+
+
+def _hash_sql(expr: str, seed: str) -> str:
+    return f"(('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT)"
+
+
+register(
+    "dedup_exact",
+    lambda spark, sf: textops.exact_dedup(spark.read.parquet(f"{sf}/documents.parquet")),
+    f"SELECT md5({_NORM_SQL}) AS text_hash, min(doc_id) AS keeper_doc_id, "
+    "count(*) AS dup_count FROM documents GROUP BY 1",
+)
+
+_K_MINHASH = 8
+register(
+    "dedup_minhash_sig",
+    lambda spark, sf: textops.minhash_signatures(
+        spark.read.parquet(f"{sf}/documents.parquet"), num_hashes=_K_MINHASH
+    ),
+    f"WITH {_SHINGLE_CTE} SELECT doc_id, "
+    + ", ".join(f"min({_hash_sql('sh', str(i))}) AS mh{i}" for i in range(_K_MINHASH))
+    + " FROM sh GROUP BY doc_id",
+)
+
+register(
+    "dedup_ngram_jaccard",
+    lambda spark, sf: textops.ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.5
+    ),
+    f"""WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5""",
+)
+
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(textops.SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN 1::BIGINT ELSE 0::BIGINT END * {1 << j}::BIGINT)"
+    for j in range(textops.SIMHASH_BITS)
+)
+
+register(
+    "dedup_simhash",
+    lambda spark, sf: textops.simhash(spark.read.parquet(f"{sf}/documents.parquet")),
+    f"""WITH w AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS wd FROM documents
+),
+h AS (SELECT doc_id, {_hash_sql('wd', 'sim')} AS h FROM w),
+bits AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_FP} AS simhash FROM bits""",
+)
+
+register(
+    "text_fingerprint",
+    lambda spark, sf: textops.doc_fingerprint(
+        spark.read.parquet(f"{sf}/documents.parquet")
+    ),
+    f"""WITH
+w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+ix AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 3, 1))) AS i FROM w),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(ws) >= 4
+              THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+              ELSE array_to_string(ws, ' ') END AS sh
+  FROM ix
+)
+SELECT doc_id, min({_hash_sql('sh', 'fp')}) AS fingerprint FROM sh GROUP BY doc_id""",
+)
+
+
+def _langid_sql() -> str:
+    counts = []
+    for lang, sw in textops.STOPWORDS.items():
+        lst = ", ".join(f"'{s}'" for s in sw)
+        counts.append(
+            f"len(list_filter(string_split({_NORM_SQL}, ' '), "
+            f"x -> list_contains([{lst}], x))) AS c_{lang}"
+        )
+    # mirror the Spark fold: iterate langs sorted DESC, strict > to replace
+    order = sorted(textops.STOPWORDS, reverse=True)
+    lang_expr = "'und'"
+    cnt_expr = "0"
+    for lang in order:
+        lang_expr = f"CASE WHEN c_{lang} > ({cnt_expr}) THEN '{lang}' ELSE {lang_expr} END"
+        cnt_expr = f"CASE WHEN c_{lang} > ({cnt_expr}) THEN c_{lang} ELSE {cnt_expr} END"
+    return (
+        f"WITH c AS (SELECT doc_id, {', '.join(counts)} FROM documents) "
+        f"SELECT doc_id, {lang_expr} AS pred_lang, "
+        f"CAST({cnt_expr} AS BIGINT) AS stopword_hits FROM c"
+    )
+
+
+register(
+    "text_lang_id",
+    lambda spark, sf: textops.lang_id(spark.read.parquet(f"{sf}/documents.parquet")),
+    _langid_sql(),
+)
+
+_EN_LIST = ", ".join(f"'{s}'" for s in textops.STOPWORDS["en"])
+
+register(
+    "text_quality",
+    lambda spark, sf: textops.quality_score(spark.read.parquet(f"{sf}/documents.parquet")),
+    f"""WITH q AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+         len(list_filter(string_split({_NORM_SQL}, ' '),
+             x -> list_contains([{_EN_LIST}], x))) AS n_sw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END, 6)
+           AS mean_token_len,
+       round(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 6)
+           AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN n_sw * 1.0 / n_tokens ELSE 0.0 END, 6)
+           AS stopword_ratio,
+       round(least(n_tokens * 1.0 / 100.0, 1.0) * 0.4
+             + (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars
+                                 ELSE 0.0 END * 5.0, 1.0)) * 0.3
+             + least(CASE WHEN n_tokens > 0 THEN n_sw * 1.0 / n_tokens
+                          ELSE 0.0 END * 5.0, 1.0) * 0.3, 6) AS quality
+FROM q""",
+)
+
+register(
+    "text_token_counts",
+    lambda spark, sf: textops.token_counts(spark.read.parquet(f"{sf}/documents.parquet")),
+    """SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS bpe_tokens
+FROM documents""",
+)
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark, sf) -> list[float]:
+    row = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _ann_brute(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return textops.cosine_topk(emb, _query_vec(spark, sf), k=10)
+
+
+_ANN_SQL = """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),
+                                 t -> t[1] * t[2])) AS dot,
+         sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))) AS ne,
+         sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x))) AS nq
+  FROM embeddings e, q
+)
+SELECT vec_id, round(dot / (ne * nq), 6) AS cos_sim
+FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+register("ann_cosine_topk", _ann_brute, _ANN_SQL)
+
+
+def _ann_lsh(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return textops.ann_topk_lsh(emb, _query_vec(spark, sf), k=10, num_planes=6)
+
+
+# approximate — no exact SQL oracle; the driver records a rows-only check
+register("ann_lsh_topk", _ann_lsh, None)
+
+
+def _lsh_bucket_sizes(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    b = textops.lsh_buckets(emb, num_planes=6)
+    return b.groupBy("bucket").agg(F.count("*").cast("long").alias("n_vecs"))
+
+
+def _lsh_bucket_sql() -> str:
+    # hyperplane constants are data-independent → embed as literals
+    planes = []
+    for p in range(6):
+        comps = [
+            (int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(64)
+        ]
+        planes.append("[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]")
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip(embedding::DOUBLE[], {pl}), "
+        f"t -> t[1] * t[2])) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    return (
+        f"SELECT bucket, count(*) AS n_vecs FROM "
+        f"(SELECT {bits} AS bucket FROM embeddings) GROUP BY bucket"
+    )
+
+
+register("ann_lsh_buckets", _lsh_bucket_sizes, _lsh_bucket_sql())

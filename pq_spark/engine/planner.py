@@ -517,6 +517,8 @@ class Planner:
         if name in ("increase", "delta"):
             val = delta
         elif name == "rate":
+            # zero-span windows (all points at one ms) yield no sample
+            agg = agg.filter(F.col("_lt") > F.col("_ft"))
             val = delta / span_s
         elif name in ("irate", "idelta"):
             # needs the last two points: recompute via sorted window arrays

@@ -64,6 +64,12 @@ _AGGREGATE_OPS = [  # alternation order from expr.rs:293-309
 _FUNCTION_NAMES = [  # alternation order from expr.rs:423-436
     "clamp", "clamp_max", "clamp_min", "count_over_time", "last_over_time",
     "max_over_time", "min_over_time", "sum_over_time", "vector",
+    # extensions beyond the reference grammar: avg_over_time is evaluable but
+    # unparseable in pq v0.0.6 (missing from its tag list — a bug we fix),
+    # and the PromQL rate family + label_replace are pure extensions. These
+    # parse here; the planner rejects them unless extensions are enabled.
+    "avg_over_time", "label_replace",
+    "rate", "irate", "increase", "delta", "idelta",
 ]
 
 _FUNC_ARG_KINDS: dict[str, list[str]] = {
@@ -79,6 +85,11 @@ _FUNC_ARG_KINDS: dict[str, list[str]] = {
     "clamp_min": ["vector", "number"],
     "label_replace": ["vector", "string", "string", "string", "string"],
     "vector": ["number"],
+    "rate": ["range"],
+    "irate": ["range"],
+    "increase": ["range"],
+    "delta": ["range"],
+    "idelta": ["range"],
 }
 
 

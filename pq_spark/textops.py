@@ -1,0 +1,393 @@
+"""Training-data pipeline operators over document/embedding tables:
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+search (brute-force + LSH-bucketed ANN), and text analysis (language-ID,
+quality scoring, token counting, fingerprinting).
+
+Design rules (100 TB):
+- everything is native Spark SQL expressions — no Python in the hot path;
+- hashes are *portable* (md5-derived 60-bit ints) so a DuckDB oracle can
+  recompute them bit-for-bit: ``portable_hash(s) =
+  int(md5(seed ∥ ':' ∥ s)[0:15], 16)``;
+- pairwise ops ship both the exact quadratic form (small inputs / final
+  verification within LSH buckets) and the banded/LSH form whose join key
+  bounds the blow-up at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# shared primitives
+# ---------------------------------------------------------------------------
+
+
+def norm_text(col: Column) -> Column:
+    """Lowercase + whitespace-collapse normalization."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def portable_hash(col: Column, seed: str = "0") -> Column:
+    """60-bit deterministic hash reproducible in DuckDB:
+    ``('0x' || substr(md5(seed||':'||s),1,15))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.lit(":"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def words_col(col: Column) -> Column:
+    return F.split(norm_text(col), " ")
+
+
+def shingles_col(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles."""
+    w = words_col(col)
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content hash.
+    Single hash-shuffle; at scale this is the cheapest first pass."""
+    return (
+        docs.select(F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures: shingle → k portable hashes → per-doc minima.
+    One explode + one aggregation; k is a column count, not a data blow-up."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(portable_hash(F.col("sh"), str(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, bucket-join on band keys.
+    The scale path for near-dup detection — candidate generation is an
+    equi-join on (band, band_key), never a cross product."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, shingle_n, text_col, id_col)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (j >= threshold).
+
+    Pair generation joins on shared shingles, so cost is bounded by shingle
+    co-occurrence, not |docs|²; still quadratic in the worst case — at scale
+    run it only WITHIN minhash_lsh_pairs candidates."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+SIMHASH_BITS = 60  # portable_hash width
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash: per-word 60-bit hashes, sign-summed per bit position.
+    The 60 per-bit sums are plain aggregate expressions (JVM-side)."""
+    w = docs.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w")
+    ).withColumn("h", portable_hash(F.col("w"), "sim"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = w.groupBy(id_col).agg(*bit_aggs)
+    fingerprint = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Scale path: 4 × 15-bit chunk keys — by pigeonhole any pair within
+    hamming ≤ 3 shares at least one exact chunk, so candidates come from
+    four equi-joins, never a cross product."""
+    sh = simhash(docs, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.concat_ws(
+                "_", F.lit(c),
+                F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit((1 << 15) - 1)).cast("string"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sh.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, "chunk")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= F.lit(max_hamming)
+    ).select("doc_a", "doc_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k — the exact baseline. One scan + a top-k
+    (TakeOrdered, no full sort). Arithmetic in double, index order, so a
+    DuckDB oracle reproduces values exactly."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return (
+        embeddings.select(F.col(id_col), F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_buckets(
+    embeddings: DataFrame, num_planes: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (the ANN scale path: restrict
+    brute-force search to the query's bucket ± multiprobe neighbors).
+
+    Hyperplane components are deterministic pseudo-randoms derived from
+    portable_hash(plane, dim) — cluster-size independent."""
+    planes = []
+    for p in range(num_planes):
+        comps = F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(F.md5(F.lit(f"plane:{p}:{d}")), 1, 15), 16, 10
+                    ).cast("long")
+                    % 2001
+                    - 1000
+                ).cast("double")
+                / 1000.0
+                for d in range(dim)
+            ]
+        )
+        planes.append(comps)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = None
+    for p, plane in enumerate(planes):
+        bit = F.when(_dot(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10, num_planes: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: brute-force within the query's LSH bucket only."""
+    import numpy as np
+
+    bucketed = lsh_buckets(embeddings, num_planes, vec_col, id_col, dim)
+    qb = 0
+    for p in range(num_planes):
+        import hashlib
+
+        comps = np.array(
+            [
+                (int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+                / 1000.0
+                for d in range(dim)
+            ]
+        )
+        if float(np.dot(np.array(query_vec, dtype=np.float64), comps)) >= 0:
+            qb |= 1 << p
+    cand = bucketed.filter(F.col("bucket") == qb)
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "a", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"],
+    "nl": ["de", "het", "een", "en", "is", "van", "te", "dat", "op", "voor"],
+    "ru": ["i", "v", "ne", "na", "chto", "eto", "kak", "po", "iz", "za"],
+}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts, argmax with
+    deterministic lexicographic tiebreak ('und' when no hits at all)."""
+    w = words_col(F.col(text_col))
+    counts = {
+        lang: F.size(
+            F.filter(w, lambda x: F.array_contains(F.array(*[F.lit(s) for s in sw]), x))
+        )
+        for lang, sw in STOPWORDS.items()
+    }
+    best_lang = F.lit("und")
+    best_cnt = F.lit(0)
+    for lang in sorted(STOPWORDS, reverse=True):
+        c = counts[lang]
+        cond = c > best_cnt
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_cnt = F.when(cond, c).otherwise(best_cnt)
+    return docs.select(
+        F.col(id_col),
+        best_lang.alias("pred_lang"),
+        best_cnt.cast("long").alias("stopword_hits"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document quality features + a composite score (portable formula)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    w = words_col(t)
+    n_tokens = F.size(w)
+    mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
+    n_alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))
+    punct_ratio = F.when(
+        n_chars > 0, (n_chars - n_alnum).cast("double") / n_chars
+    ).otherwise(0.0)
+    en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    sw_ratio = F.when(
+        n_tokens > 0,
+        F.size(F.filter(w, lambda x: F.array_contains(en, x))).cast("double") / n_tokens,
+    ).otherwise(0.0)
+    score = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(sw_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish subword-regex token count."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, shingle_n: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rolling-hash-style fingerprint: minimum portable hash over word
+    n-gram shingles (winnowing with a single global window)."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
+    )
+    return sh.groupBy(id_col).agg(
+        F.min(portable_hash(F.col("sh"), "fp")).alias("fingerprint")
+    )

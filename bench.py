@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints
+ONE JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1, ...}
+
+Workload = the north-rule pipeline (synthetic page corpus → extraction
+samples → 1m/1h/1d tier cascade with lineage → Gorilla packing) plus the
+headline engine queries over the driver-generated events table.
+
+``--scaling`` mode: runs the SAME pipeline job at two parallelism levels
+(local[8] and local[32] by default — the sandbox proxy for N vs 4N
+executors) in fresh subprocesses and reports throughput at both plus the
+scaling efficiency (BASELINE.md criterion ≥ 0.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _mk_spark(cpus: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pq_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus * 2, 8)))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .getOrCreate()
+    )
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def run_pipeline_bench(spark, sf: float, n_pages: int | None, out_dir: str) -> dict:
+    """North-rule pipeline at a page count proportional to sf."""
+    from pq_spark.rollup.pages import synth_pages
+    from pq_spark.rollup.pipeline import run_pipeline
+
+    n = n_pages if n_pages is not None else max(int(sf * 4_000_000), 20_000)
+    pages = synth_pages(spark, n)
+    metrics = run_pipeline(
+        spark, pages, out_dir, salt_buckets=8, gorilla_block_ms=6 * 3_600_000
+    )
+    metrics["n_pages"] = n
+    return metrics
+
+
+def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Headline engine queries over the driver's events/documents tables."""
+    from pq_spark.driver_queries import QUERIES
+
+    names = [
+        "pq_instant_vector",
+        "pq_sum_by_et",
+        "pq_count_over_time",
+        "pq_rate_1h",
+        "tier_1m",
+        "tier_1d_cascade",
+        "gapfill_1m_day1",
+        "dedup_minhash_sig",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "text_quality",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_once(cpus: int, sf_dir: str, n_pages: int | None, queries: bool) -> dict:
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = _sf_from_dir(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="pq_spark_bench_")
+    try:
+        t0 = time.time()
+        pipe = run_pipeline_bench(spark, sf, n_pages, out_dir)
+        q = run_query_bench(spark, sf_dir) if queries else {}
+        total = time.time() - t0
+        return {
+            "metric": "rolled-up points/sec across 1m/1h/1d tiers (north-rule pipeline) + headline query latencies",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+            "cpus": cpus,
+            "n_pages": pipe["n_pages"],
+            "rolled_up_points": pipe["rolled_up_points"],
+            "points_per_sec": round(pipe["points_per_sec"], 1),
+            "pipeline_elapsed_s": round(pipe["elapsed_s"], 3),
+        }
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--n-pages", type=int, default=None)
+    ap.add_argument("--no-queries", action="store_true")
+    ap.add_argument("--scaling", action="store_true",
+                    help="run the pipeline at local[8] and local[32], report efficiency")
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for c in (8, 32):
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--sf-dir", args.sf_dir, "--cpus", str(c), "--no-queries", "--json-only",
+            ]
+            if args.n_pages:
+                cmd += ["--n-pages", str(args.n_pages)]
+            out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            results[c] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8, t32 = results[8]["pipeline_elapsed_s"], results[32]["pipeline_elapsed_s"]
+        eff = (t8 / t32) / (32 / 8)
+        print(json.dumps({
+            "metric": "pipeline scaling efficiency local[8] → local[32]",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "sf": _sf_from_dir(args.sf_dir),
+            "elapsed_8": t8,
+            "elapsed_32": t32,
+            "points_per_sec_8": results[8]["points_per_sec"],
+            "points_per_sec_32": results[32]["points_per_sec"],
+            "rolled_up_points": results[32]["rolled_up_points"],
+        }))
+        return
+
+    result = bench_once(args.cpus, args.sf_dir, args.n_pages, not args.no_queries)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

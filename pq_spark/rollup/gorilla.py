@@ -233,38 +233,48 @@ PACKED_SCHEMA = (
 )
 
 
-def pack_blocks(samples: DataFrame, block_ms: int = 3_600_000) -> DataFrame:
+def pack_blocks(
+    samples: DataFrame, block_ms: int = 3_600_000, blocks_per_group: int = 24
+) -> DataFrame:
     """samples (seq, ts, name, labels, value) → one Gorilla blob per
-    (series, block). ``applyInPandas`` over sorted, salt-free groups — the
-    block key itself spreads hot series across reducers (a hot domain's
-    points split over time blocks), the paper's own sharding scheme.
+    (series, block).
+
+    Shuffle key is the SUPER-block ``(series, blocks_per_group × block_ms)``
+    — a hot series' points still spread across reducers over time (the
+    paper's own sharding scheme), while each Python invocation packs many
+    blocks at once (``pandas.groupby`` inside the kernel), amortizing the
+    per-group Arrow/pandas overhead that would otherwise dominate when
+    blocks are small.
     """
     from ..engine.planner import sig_expr
 
+    super_ms = block_ms * blocks_per_group
     keyed = samples.select(
         sig_expr(F.col("labels")).alias("sig"),
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(super_ms))).alias("super_ts"),
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(block_ms))).alias("block_ts"),
         "name", "labels", "ts", "seq", "value",
     )
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "seq"], kind="mergesort")
-        ts = pdf["ts"].to_numpy(dtype=np.int64)
-        vals = pdf["value"].to_numpy(dtype=np.float64)
-        blob = pack_block(ts, vals)
-        return pd.DataFrame(
-            {
-                "sig": [pdf["sig"].iloc[0]],
-                "block_ts": [pdf["block_ts"].iloc[0]],
-                "name": [pdf["name"].iloc[0]],
-                "labels": [pdf["labels"].iloc[0]],
-                "n": [len(ts)],
-                "raw_bytes": [len(ts) * 16],
-                "blob": [blob],
-            }
-        )
+        pdf = pdf.sort_values(["block_ts", "ts", "seq"], kind="mergesort")
+        sig = pdf["sig"].iloc[0]
+        name = pdf["name"].iloc[0]
+        labels = pdf["labels"].iloc[0]
+        out = {k: [] for k in ("sig", "block_ts", "name", "labels", "n", "raw_bytes", "blob")}
+        for block_ts, grp in pdf.groupby("block_ts", sort=True):
+            ts = grp["ts"].to_numpy(dtype=np.int64)
+            vals = grp["value"].to_numpy(dtype=np.float64)
+            out["sig"].append(sig)
+            out["block_ts"].append(block_ts)
+            out["name"].append(name)
+            out["labels"].append(labels)
+            out["n"].append(len(ts))
+            out["raw_bytes"].append(len(ts) * 16)
+            out["blob"].append(pack_block(ts, vals))
+        return pd.DataFrame(out)
 
-    return keyed.groupBy("sig", "block_ts").applyInPandas(encode, PACKED_SCHEMA)
+    return keyed.groupBy("sig", "super_ts").applyInPandas(encode, PACKED_SCHEMA)
 
 
 UNPACKED_SCHEMA = "sig string, name string, labels map<string,string>, ts long, value double"

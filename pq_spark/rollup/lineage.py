@@ -103,6 +103,9 @@ class TierStore:
     ) -> CommitResult:
         """Write only partitions whose input fingerprint changed."""
         t0 = time.time()
+        # the input plan is evaluated twice (fingerprint pass + write pass) —
+        # persist so expensive upstreams (salted aggs, Gorilla packing) run once
+        df = df.persist()
         fps = self.fingerprints(df, part_col)
         result = CommitResult(table_path=os.path.join(self.base_path, table))
 
@@ -142,6 +145,7 @@ class TierStore:
                 )
                 result.written.append(str(part))
 
+        df.unpersist()
         result.metrics = {
             "partitions_total": len(fps),
             "partitions_written": len(result.written),

@@ -56,7 +56,9 @@ def run_pipeline(
             )
         metrics["stages"]["verify_extraction"] = {"elapsed_s": time.time() - t0}
 
-    samples = page_samples(pages)
+    # the samples fact table feeds both the tier cascade and the Gorilla
+    # packer — materialize it once (at cluster scale: a checkpointed table)
+    samples = page_samples(pages).persist()
 
     # tier cascade with resume: each tier commits date-partitioned with
     # manifests; unchanged partitions are skipped on re-runs.
@@ -84,6 +86,7 @@ def run_pipeline(
         )
         metrics["stages"]["gorilla"] = rp.metrics
 
+    samples.unpersist()
     total_points = (
         metrics["stages"]["tier_1m"]["rows_total"]
         + metrics["stages"]["tier_1h"]["rows_total"]

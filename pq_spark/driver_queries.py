@@ -34,8 +34,18 @@ DAY_MS = 86_400_000
 # ---------------------------------------------------------------------------
 
 
+def _par(spark) -> int:
+    return spark.sparkContext.defaultParallelism
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # small single-file parquet would otherwise pin the whole shingle/hash
+    # pipeline to ONE task; at cluster scale inputs arrive pre-split
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(_par(spark))
+
+
 def event_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(_par(spark))
     src = ev.select(
         F.col("event_id"),
         # parquet stores TIMESTAMP_NTZ; session tz is UTC so the cast is
@@ -394,7 +404,7 @@ def _hash_sql(expr: str, seed: str) -> str:
 
 register(
     "dedup_exact",
-    lambda spark, sf: textops.exact_dedup(spark.read.parquet(f"{sf}/documents.parquet")),
+    lambda spark, sf: textops.exact_dedup(_docs(spark, sf)),
     f"SELECT md5({_NORM_SQL}) AS text_hash, min(doc_id) AS keeper_doc_id, "
     "count(*) AS dup_count FROM documents GROUP BY 1",
 )
@@ -403,7 +413,7 @@ _K_MINHASH = 8
 register(
     "dedup_minhash_sig",
     lambda spark, sf: textops.minhash_signatures(
-        spark.read.parquet(f"{sf}/documents.parquet"), num_hashes=_K_MINHASH
+        _docs(spark, sf), num_hashes=_K_MINHASH
     ),
     f"WITH {_SHINGLE_CTE} SELECT doc_id, "
     + ", ".join(f"min({_hash_sql('sh', str(i))}) AS mh{i}" for i in range(_K_MINHASH))
@@ -413,7 +423,7 @@ register(
 register(
     "dedup_ngram_jaccard",
     lambda spark, sf: textops.ngram_jaccard_pairs(
-        spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.5
+        _docs(spark, sf), threshold=0.5
     ),
     f"""WITH {_SHINGLE_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -441,7 +451,7 @@ _SIMHASH_FP = " + ".join(
 
 register(
     "dedup_simhash",
-    lambda spark, sf: textops.simhash(spark.read.parquet(f"{sf}/documents.parquet")),
+    lambda spark, sf: textops.simhash(_docs(spark, sf)),
     f"""WITH w AS (
   SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS wd FROM documents
 ),
@@ -453,7 +463,7 @@ SELECT doc_id, {_SIMHASH_FP} AS simhash FROM bits""",
 register(
     "text_fingerprint",
     lambda spark, sf: textops.doc_fingerprint(
-        spark.read.parquet(f"{sf}/documents.parquet")
+        _docs(spark, sf)
     ),
     f"""WITH
 w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
@@ -493,7 +503,7 @@ def _langid_sql() -> str:
 
 register(
     "text_lang_id",
-    lambda spark, sf: textops.lang_id(spark.read.parquet(f"{sf}/documents.parquet")),
+    lambda spark, sf: textops.lang_id(_docs(spark, sf)),
     _langid_sql(),
 )
 
@@ -501,7 +511,7 @@ _EN_LIST = ", ".join(f"'{s}'" for s in textops.STOPWORDS["en"])
 
 register(
     "text_quality",
-    lambda spark, sf: textops.quality_score(spark.read.parquet(f"{sf}/documents.parquet")),
+    lambda spark, sf: textops.quality_score(_docs(spark, sf)),
     f"""WITH q AS (
   SELECT doc_id,
          length(text) AS n_chars,
@@ -530,7 +540,7 @@ FROM q""",
 
 register(
     "text_token_counts",
-    lambda spark, sf: textops.token_counts(spark.read.parquet(f"{sf}/documents.parquet")),
+    lambda spark, sf: textops.token_counts(_docs(spark, sf)),
     """SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
@@ -541,6 +551,10 @@ FROM documents""",
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(_par(spark))
 
 
 def _query_vec(spark, sf) -> list[float]:
@@ -554,7 +568,7 @@ def _query_vec(spark, sf) -> list[float]:
 
 
 def _ann_brute(spark, sf):
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _emb(spark, sf)
     return textops.cosine_topk(emb, _query_vec(spark, sf), k=10)
 
 
@@ -574,7 +588,7 @@ register("ann_cosine_topk", _ann_brute, _ANN_SQL)
 
 
 def _ann_lsh(spark, sf):
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _emb(spark, sf)
     return textops.ann_topk_lsh(emb, _query_vec(spark, sf), k=10, num_planes=6)
 
 
@@ -583,7 +597,7 @@ register("ann_lsh_topk", _ann_lsh, None)
 
 
 def _lsh_bucket_sizes(spark, sf):
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _emb(spark, sf)
     b = textops.lsh_buckets(emb, num_planes=6)
     return b.groupBy("bucket").agg(F.count("*").cast("long").alias("n_vecs"))
 

@@ -1,0 +1,76 @@
+"""Structured Streaming variant: watermarked tier agg + stateful gap-fill.
+
+Runs with a file source + availableNow trigger + memory sink so the test is
+deterministic and bounded."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pq_spark.streaming import streaming_last_value, streaming_tier
+
+SAMPLE_SCHEMA = "seq long, ts long, sig string, name string, value double"
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def sample_dir(tmp_path):
+    rows = [
+        {"seq": 1, "ts": 0, "sig": "a", "name": "m", "value": 1.0},
+        {"seq": 2, "ts": 30_000, "sig": "a", "name": "m", "value": 2.0},
+        {"seq": 3, "ts": 65_000, "sig": "a", "name": "m", "value": 3.0},
+        {"seq": 4, "ts": 10_000, "sig": "b", "name": "m", "value": 7.0},
+        {"seq": 5, "ts": 200_000, "sig": "b", "name": "m", "value": 9.0},
+    ]
+    _write_jsonl(tmp_path / "part-0.jsonl", rows)
+    return str(tmp_path)
+
+
+def _run_stream(spark, df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_tier(spark, sample_dir):
+    stream = spark.readStream.schema(SAMPLE_SCHEMA).json(sample_dir)
+    tier = streaming_tier(stream, "1m", watermark="0 seconds")
+    # complete mode: in append mode windows past the final watermark stay
+    # open when a bounded replay ends — complete shows every window
+    out = _run_stream(spark, tier, f"tier_{int(time.time()*1000)}", mode="complete")
+    rows = {(r["sig"], r["bucket_ts"]): r for r in out.collect()}
+    assert rows[("a", 0)]["cnt"] == 2
+    assert rows[("a", 0)]["sum"] == 3.0
+    assert rows[("a", 0)]["first_val"] == 1.0
+    assert rows[("a", 0)]["last_val"] == 2.0
+    assert rows[("a", 60_000)]["cnt"] == 1
+    assert rows[("b", 0)]["cnt"] == 1
+    assert rows[("b", 180_000)]["last_val"] == 9.0
+
+
+def test_streaming_last_value_gapfill(spark, sample_dir):
+    stream = spark.readStream.schema(SAMPLE_SCHEMA).json(sample_dir)
+    filled = streaming_last_value(stream, interval_ms=60_000, lookback_ms=120_000)
+    out = _run_stream(spark, filled, f"lv_{int(time.time()*1000)}")
+    rows = {(r["sig"], r["bucket_ts"]): (r["value"], r["filled"]) for r in out.collect()}
+    # series a: last sample at 65s value 3 → bucket 60k fresh (not filled),
+    # bucket 120k carried within 2-bucket lookback
+    assert rows[("a", 60_000)] == (3.0, False)
+    assert rows[("a", 120_000)] == (3.0, True)
+    assert ("a", 180_000) not in rows
+    # series b: last at 200s value 9 → bucket 180k fresh, 240k carried
+    assert rows[("b", 180_000)] == (9.0, False)
+    assert rows[("b", 240_000)] == (9.0, True)

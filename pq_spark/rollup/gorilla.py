@@ -234,7 +234,10 @@ PACKED_SCHEMA = (
 
 
 def pack_blocks(
-    samples: DataFrame, block_ms: int = 3_600_000, blocks_per_group: int = 24
+    samples: DataFrame,
+    block_ms: int = 3_600_000,
+    blocks_per_group: int = 24,
+    dim: DataFrame | None = None,
 ) -> DataFrame:
     """samples (seq, ts, name, labels, value) → one Gorilla blob per
     (series, block).
@@ -247,34 +250,44 @@ def pack_blocks(
     blocks are small.
     """
     from ..engine.planner import sig_expr
+    from .tiers import series_dim
 
     super_ms = block_ms * blocks_per_group
+    narrow_input = "sig" in samples.columns and "labels" not in samples.columns
+    if dim is None:
+        if narrow_input:
+            raise ValueError("narrow fact input requires an explicit series dim")
+        dim = series_dim(samples)
+    # NARROW kernel input: label maps stay out of the shuffle and out of the
+    # Arrow→pandas conversion; they rejoin from the tiny series dim below.
     keyed = samples.select(
-        sig_expr(F.col("labels")).alias("sig"),
+        (F.col("sig") if narrow_input else sig_expr(F.col("labels"))).alias("sig"),
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(super_ms))).alias("super_ts"),
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(block_ms))).alias("block_ts"),
-        "name", "labels", "ts", "seq", "value",
+        "ts", "seq", "value",
     )
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["block_ts", "ts", "seq"], kind="mergesort")
         sig = pdf["sig"].iloc[0]
-        name = pdf["name"].iloc[0]
-        labels = pdf["labels"].iloc[0]
-        out = {k: [] for k in ("sig", "block_ts", "name", "labels", "n", "raw_bytes", "blob")}
+        out = {k: [] for k in ("sig", "block_ts", "n", "raw_bytes", "blob")}
         for block_ts, grp in pdf.groupby("block_ts", sort=True):
             ts = grp["ts"].to_numpy(dtype=np.int64)
             vals = grp["value"].to_numpy(dtype=np.float64)
             out["sig"].append(sig)
             out["block_ts"].append(block_ts)
-            out["name"].append(name)
-            out["labels"].append(labels)
             out["n"].append(len(ts))
             out["raw_bytes"].append(len(ts) * 16)
             out["blob"].append(pack_block(ts, vals))
         return pd.DataFrame(out)
 
-    return keyed.groupBy("sig", "super_ts").applyInPandas(encode, PACKED_SCHEMA)
+    packed = keyed.groupBy("sig", "super_ts").applyInPandas(
+        encode,
+        "sig string, block_ts long, n long, raw_bytes long, blob binary",
+    )
+    return packed.join(dim, "sig").select(
+        "sig", "block_ts", "name", "labels", "n", "raw_bytes", "blob"
+    )
 
 
 UNPACKED_SCHEMA = "sig string, name string, labels map<string,string>, ts long, value double"

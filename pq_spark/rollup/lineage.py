@@ -124,7 +124,10 @@ class TierStore:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
                 (
-                    out.write.mode("overwrite")
+                    # repartition by the partition value: one writer set per
+                    # partition instead of (tasks × partitions) small files
+                    out.repartition(F.col(part_col))
+                    .write.mode("overwrite")
                     .partitionBy(part_col)
                     .parquet(result.table_path)
                 )

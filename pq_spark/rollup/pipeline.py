@@ -40,12 +40,21 @@ def run_pipeline(
     gorilla_block_ms: int = 3_600_000,
     check_extraction: bool = True,
     pack: bool = True,
+    cache_pages: bool = False,
 ) -> dict:
     """Execute the full cascade with lineage; returns metrics (incl.
-    rolled-up points/sec, the BASELINE headline metric)."""
+    rolled-up points/sec, the BASELINE headline metric).
+
+    cache_pages: persist the page table across the (extraction-check, fact,
+    dim) scans — right when the source is a generator or slow storage and
+    fits the cache; at 100 TB leave False and let the columnar source be
+    scanned per pass (column pruning reads only what each pass needs).
+    """
     store = TierStore(out_path)
     metrics: dict = {"stages": {}}
     t_start = time.time()
+    if cache_pages:
+        pages = pages.persist()
 
     if check_extraction:
         t0 = time.time()
@@ -56,14 +65,25 @@ def run_pipeline(
             )
         metrics["stages"]["verify_extraction"] = {"elapsed_s": time.time() - t0}
 
-    # the samples fact table feeds both the tier cascade and the Gorilla
-    # packer — materialize it once (at cluster scale: a checkpointed table)
-    samples = page_samples(pages).persist()
+    # star schema: the NARROW fact (sig, ts, seq, value) feeds both the tier
+    # cascade and the Gorilla packer — label maps live in the tiny series
+    # dim. Only the fact is cached; at cluster scale it'd be a checkpointed
+    # table.
+    from pyspark.sql import functions as _F
+
+    from ..engine.planner import sig_expr
+    from .tiers import series_dim
+
+    samples_wide = page_samples(pages)
+    samples = samples_wide.select(
+        sig_expr(_F.col("labels")).alias("sig"), "ts", "seq", "value"
+    ).persist()
+    dim = series_dim(samples_wide).persist()
 
     # tier cascade with resume: each tier commits date-partitioned with
     # manifests; unchanged partitions are skipped on re-runs.
     t0 = time.time()
-    tier_1m = rollup_tier(samples, "1m", salt_buckets=salt_buckets)
+    tier_1m = rollup_tier(samples, "1m", salt_buckets=salt_buckets, dim=dim)
     r1 = store.commit(with_date(tier_1m), "tier_1m")
     metrics["stages"]["tier_1m"] = r1.metrics
 
@@ -80,13 +100,16 @@ def run_pipeline(
 
     if pack:
         t0 = time.time()
-        packed = gorilla.pack_blocks(samples, block_ms=gorilla_block_ms)
+        packed = gorilla.pack_blocks(samples, block_ms=gorilla_block_ms, dim=dim)
         rp = store.commit(
             with_date(packed, ts_col="block_ts"), "gorilla_blocks"
         )
         metrics["stages"]["gorilla"] = rp.metrics
 
     samples.unpersist()
+    dim.unpersist()
+    if cache_pages:
+        pages.unpersist()
     total_points = (
         metrics["stages"]["tier_1m"]["rows_total"]
         + metrics["stages"]["tier_1h"]["rows_total"]
@@ -97,3 +120,51 @@ def run_pipeline(
     metrics["elapsed_s"] = elapsed
     metrics["points_per_sec"] = total_points / elapsed if elapsed > 0 else 0.0
     return metrics
+
+
+def main() -> None:
+    """spark-submit entry point::
+
+        spark-submit --py-files dist/pq_spark.zip pq_spark/rollup/pipeline.py \
+            --pages <parquet path>  --out /data/tiers [--synth-pages N]
+    """
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="path to a page table (parquet)")
+    ap.add_argument("--synth-pages", type=int, help="generate N synthetic pages instead")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument("--block-ms", type=int, default=6 * 3_600_000)
+    ap.add_argument("--no-pack", action="store_true")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("pq_spark-rollup").getOrCreate()
+    for k, v in {
+        "spark.sql.ansi.enabled": "false",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+    }.items():
+        spark.conf.set(k, v)
+
+    if args.synth_pages:
+        from .pages import synth_pages
+
+        pages = synth_pages(spark, args.synth_pages)
+    elif args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        raise SystemExit("one of --pages / --synth-pages is required")
+
+    metrics = run_pipeline(
+        spark, pages, args.out,
+        salt_buckets=args.salt_buckets,
+        gorilla_block_ms=args.block_ms,
+        pack=not args.no_pack,
+    )
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,23 +41,40 @@ def _bucket(ts: Column, tier_ms: int) -> Column:
     return ts - F.pmod(ts, F.lit(tier_ms))
 
 
+def series_dim(samples: DataFrame) -> DataFrame:
+    """The tiny series dimension (sig → name, labels). Fact rows carry only
+    the sig; label maps never enter the big shuffles (star schema)."""
+    return samples.groupBy(sig_expr(F.col("labels")).alias("sig")).agg(
+        F.first("name").alias("name"), F.first("labels").alias("labels")
+    )
+
+
 def rollup_tier(
     samples: DataFrame,
     tier: str | int,
     salt_buckets: int = 0,
+    dim: DataFrame | None = None,
 ) -> DataFrame:
     """Raw samples → one tier of partial aggregates.
+
+    The heavy aggregation runs on a NARROW projection (bucket, sig, ts, seq,
+    value) — the label maps ride in a small series dimension joined back
+    after the shuffle (broadcast-able; Catalyst/AQE picks the strategy).
 
     Output: (bucket_ts long, sig string, name string,
              labels map<string,string>, cnt, sum, min, max,
              first_ts, first_val, last_ts, last_val).
     """
     tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
+    narrow_input = "sig" in samples.columns and "labels" not in samples.columns
+    if dim is None:
+        if narrow_input:
+            raise ValueError("narrow fact input requires an explicit series dim")
+        dim = series_dim(samples)
+    sig_col = F.col("sig") if narrow_input else sig_expr(F.col("labels"))
     base = samples.select(
         _bucket(F.col("ts"), tier_ms).alias("bucket_ts"),
-        sig_expr(F.col("labels")).alias("sig"),
-        "name",
-        "labels",
+        sig_col.alias("sig"),
         "ts",
         "seq",
         "value",
@@ -73,8 +90,6 @@ def rollup_tier(
             F.min_by("value", F.struct("ts", "seq")).alias("first_val"),
             F.max("ts").alias("last_ts"),
             F.max_by("value", F.struct("ts", "seq")).alias("last_val"),
-            F.first("name").alias("name"),
-            F.first("labels").alias("labels"),
         )
 
     if salt_buckets > 1:
@@ -82,12 +97,24 @@ def rollup_tier(
         phase1 = aggs(
             base.withColumn("_salt", F.pmod(F.col("seq"), F.lit(salt_buckets)))
             .groupBy("bucket_ts", "sig", "_salt")
+        ).drop("_salt")
+        merged = (
+            phase1.groupBy("bucket_ts", "sig")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("sum").alias("sum"),
+                F.min("min").alias("min"),
+                F.max("max").alias("max"),
+                F.min("first_ts").alias("first_ts"),
+                F.min_by("first_val", "first_ts").alias("first_val"),
+                F.max("last_ts").alias("last_ts"),
+                F.max_by("last_val", "last_ts").alias("last_val"),
+            )
         )
-        merged = _merge_partials(phase1.drop("_salt"))
     else:
         merged = aggs(base.groupBy("bucket_ts", "sig"))
 
-    return merged.select(
+    return merged.join(dim, "sig").select(
         "bucket_ts", "sig", "name", "labels", *PARTIAL_COLS
     )
 

@@ -30,19 +30,55 @@ import tempfile
 import time
 
 
-def _mk_spark(cpus: int, shuffle_partitions: int | None = None):
+def _mk_spark(cpus: int, shuffle_partitions: int | None = None,
+              executors: int | None = None):
+    """Session factory. ``executors`` switches to local-cluster mode:
+    separate single-core executor JVM processes — the sandbox proxy for a
+    real N-executor cluster (see BENCH/BASELINE.md: this sandbox throttles
+    threads WITHIN one process, so multi-process executors are the honest
+    way to evidence executor-count scaling)."""
     from pyspark.sql import SparkSession
 
+    if executors is not None:
+        master = f"local-cluster[{executors},1,4096]"
+        parallelism = executors
+        jvm_opts = (
+            "-XX:ParallelGCThreads=2 -XX:CICompilerCount=2 "
+            "-XX:ActiveProcessorCount=1"
+        )
+        # executors are separate JVMs with their own python workers: ship
+        # the package exactly as a real cluster run would (--py-files)
+        zip_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "dist", "pq_spark.zip")
+        if not os.path.exists(zip_path):
+            subprocess.run(
+                [os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "build_pyfiles.sh")],
+                check=True, capture_output=True,
+            )
+        builder = (
+            SparkSession.builder.master(master)
+            .config("spark.executor.memory", "4g")
+            .config("spark.executor.extraJavaOptions", jvm_opts)
+            .config("spark.submit.pyFiles", zip_path)
+            .config("spark.pyspark.python", sys.executable)
+        )
+    else:
+        master = f"local[{cpus}]"
+        parallelism = cpus
+        builder = SparkSession.builder.master(master).config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g")
+        )
+
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("pq_spark-bench")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus * 2, 8)))
-        .config("spark.default.parallelism", str(cpus))
+        builder.appName("pq_spark-bench")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or max(parallelism * 2, 8)))
+        .config("spark.default.parallelism", str(parallelism))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .getOrCreate()
     )
@@ -96,8 +132,9 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_once(cpus: int, sf_dir: str, n_pages: int | None, queries: bool) -> dict:
-    spark = _mk_spark(cpus)
+def bench_once(cpus: int, sf_dir: str, n_pages: int | None, queries: bool,
+               executors: int | None = None) -> dict:
+    spark = _mk_spark(cpus, executors=executors)
     spark.sparkContext.setLogLevel("ERROR")
     sf = _sf_from_dir(sf_dir)
     out_dir = tempfile.mkdtemp(prefix="pq_spark_bench_")
@@ -113,6 +150,7 @@ def bench_once(cpus: int, sf_dir: str, n_pages: int | None, queries: bool) -> di
             "queries": q,
             "sf": sf,
             "cpus": cpus,
+            "executors": executors,
             "n_pages": pipe["n_pages"],
             "rolled_up_points": pipe["rolled_up_points"],
             "points_per_sec": round(pipe["points_per_sec"], 1),
@@ -130,37 +168,46 @@ def main() -> None:
     ap.add_argument("--n-pages", type=int, default=None)
     ap.add_argument("--no-queries", action="store_true")
     ap.add_argument("--scaling", action="store_true",
-                    help="run the pipeline at local[8] and local[32], report efficiency")
+                    help="run the pipeline at N and 4N executors "
+                         "(local-cluster, separate executor JVMs), report efficiency")
+    ap.add_argument("--n-exec", type=int, default=1,
+                    help="N for the scaling run (compares N vs 4N executors)")
+    ap.add_argument("--executors", type=int, default=None,
+                    help="run a single bench on local-cluster[N,1,4096]")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
     if args.scaling:
+        n, n4 = args.n_exec, args.n_exec * 4
         results = {}
-        for c in (8, 32):
+        for e in (n, n4):
             cmd = [
                 sys.executable, os.path.abspath(__file__),
-                "--sf-dir", args.sf_dir, "--cpus", str(c), "--no-queries", "--json-only",
+                "--sf-dir", args.sf_dir, "--executors", str(e),
+                "--no-queries", "--json-only",
             ]
             if args.n_pages:
                 cmd += ["--n-pages", str(args.n_pages)]
             out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-            results[c] = json.loads(out.stdout.strip().splitlines()[-1])
-        t8, t32 = results[8]["pipeline_elapsed_s"], results[32]["pipeline_elapsed_s"]
-        eff = (t8 / t32) / (32 / 8)
+            results[e] = json.loads(out.stdout.strip().splitlines()[-1])
+        t_n, t_4n = results[n]["pipeline_elapsed_s"], results[n4]["pipeline_elapsed_s"]
+        eff = (t_n / t_4n) / 4
         print(json.dumps({
-            "metric": "pipeline scaling efficiency local[8] → local[32]",
+            "metric": f"pipeline scaling efficiency {n} → {n4} executors "
+                      "(local-cluster, 1 core each)",
             "value": round(eff, 3),
             "unit": "efficiency",
             "sf": _sf_from_dir(args.sf_dir),
-            "elapsed_8": t8,
-            "elapsed_32": t32,
-            "points_per_sec_8": results[8]["points_per_sec"],
-            "points_per_sec_32": results[32]["points_per_sec"],
-            "rolled_up_points": results[32]["rolled_up_points"],
+            f"elapsed_{n}exec": t_n,
+            f"elapsed_{n4}exec": t_4n,
+            f"points_per_sec_{n}exec": results[n]["points_per_sec"],
+            f"points_per_sec_{n4}exec": results[n4]["points_per_sec"],
+            "rolled_up_points": results[n4]["rolled_up_points"],
         }))
         return
 
-    result = bench_once(args.cpus, args.sf_dir, args.n_pages, not args.no_queries)
+    result = bench_once(args.cpus, args.sf_dir, args.n_pages, not args.no_queries,
+                        executors=args.executors)
     print(json.dumps(result))
 
 

@@ -121,8 +121,11 @@ def promapi_lines(result, strict_checks: bool = True) -> list[str]:
 
 
 def entries_json_lines(entries: DataFrame) -> list[str]:
-    """JSON formatter for decoder-only programs: tuple entries render as an
-    array, dict entries as a sorted-key object (serde BTreeMap parity)."""
+    """JSON formatter for decoder-only programs (reference:
+    src/format/json.rs:49-66): tuple entries render as a JSON array; dict
+    entries as an object (we emit sorted keys — the reference serializes a
+    HashMap whose order is arbitrary, so sorted is the deterministic
+    choice)."""
     rows = entries.orderBy("line_no").collect()
     out = []
     for r in rows:
@@ -137,17 +140,115 @@ def entries_json_lines(entries: DataFrame) -> list[str]:
 
 
 def records_json_lines(records: DataFrame) -> list[str]:
-    """JSON formatter for mapper-only programs: labels as strings, values as
-    f64, timestamp in ms — sorted keys (reference: src/format/json.rs)."""
+    """JSON formatter for mapper-only programs (reference:
+    src/format/json.rs:25-33,69-83): ``{"timestamp": ms?, "labels": {...},
+    "values": {...}}`` with sorted inner keys; timestamp omitted if the
+    record has none."""
     rows = records.orderBy("seq").collect()
     out = []
     for r in rows:
         obj: dict = {}
-        obj.update(dict(r["labels"]))
-        for k, v in (r["values"] or {}).items():
-            obj[k] = v
         if r["ts"] is not None:
             obj["timestamp"] = r["ts"]
-        out.append(json.dumps(dict(sorted(obj.items())), separators=(",", ":"),
-                              ensure_ascii=False))
+        obj["labels"] = dict(sorted((r["labels"] or {}).items()))
+        obj["values"] = dict(sorted((r["values"] or {}).items()))
+        out.append(json.dumps(obj, separators=(",", ":"), ensure_ascii=False))
     return out
+
+
+# ---------------------------------------------------------------------------
+# human-readable formatter (the default when no formatter stage is given;
+# reference: src/format/humanreadable.rs)
+# ---------------------------------------------------------------------------
+
+
+def _ts_human(ts_ms: int) -> str:
+    """``to_string_millis`` parity — NOTE the reference floors to seconds
+    and always prints ``.000`` (timestamp.rs:33-36)."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(ts_ms // 1000, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S") + ".000"
+
+
+def _dict_human(d: dict, sep: str) -> str:
+    return sep.join(f"{k}={v}" for k, v in sorted(d.items()))
+
+
+def entries_human_lines(entries: DataFrame) -> list[str]:
+    rows = entries.orderBy("line_no").collect()
+    out = []
+    for r in rows:
+        if r["arr"] is not None:
+            out.append("\t".join(r["arr"]))
+        else:
+            out.append(_dict_human(dict(r["map"]), "\t"))
+    return out
+
+
+def records_human_lines(records: DataFrame) -> list[str]:
+    rows = records.orderBy("seq").collect()
+    out = []
+    for r in rows:
+        parts = []
+        if r["ts"] is not None:
+            parts.append(_ts_human(r["ts"]))
+        if r["labels"]:
+            parts.append(_dict_human(dict(r["labels"]), "\t"))
+        if r["values"]:
+            parts.append(
+                _dict_human({k: rust_f64_str(v) for k, v in r["values"].items()}, "\t")
+            )
+        out.append("\t".join(parts))
+    return out
+
+
+def promhuman_lines(result, strict_checks: bool = True) -> list[str]:
+    """Human formatter for query values (humanreadable.rs:70-177).
+    Non-verbose: empty vectors produce NO output line."""
+    if isinstance(result, ScalarResult):
+        return [rust_f64_str(result.value)]
+    if strict_checks:
+        _run_checks(result.checks)
+
+    NAME = "__name__"
+    lines: list[str] = []
+    if isinstance(result, VectorFrame):
+        rows = result.cells.orderBy("instant", "ord").collect()
+        for r in rows:
+            labels = dict(r["labels"])
+            name = labels.pop(NAME, None)
+            parts = [_ts_human(r["instant"]) + "\t"]
+            if name is not None:
+                parts.append(name)
+            if labels or name is not None:
+                parts.append("{%s}\t\t\t" % _dict_human(labels, ", "))
+            parts.append(rust_f64_str(r["value"]))
+            lines.append("".join(parts))
+        return lines
+
+    if isinstance(result, RangeFrame):
+        per_series = (
+            result.points.groupBy("instant", "sig")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("ts", "seq", "value"))).alias("_pts"),
+                F.min_by("labels", F.struct("ts", "seq")).alias("labels"),
+                F.first("ord").alias("ord"),
+            )
+            .orderBy("instant", "ord")
+            .collect()
+        )
+        for r in per_series:
+            labels = dict(r["labels"])
+            name = labels.pop(NAME, None)
+            parts = [_ts_human(r["instant"]) + "\t"]
+            if name is not None:
+                parts.append(name)
+            if labels or name is not None:
+                parts.append("{%s}\t\t\t" % _dict_human(labels, ", "))
+            lines.append("".join(parts))
+            for p in r["_pts"]:
+                lines.append("\t%s @ %s" % (rust_f64_str(p["value"]), _ts_human(p["ts"])))
+        return lines
+
+    raise TypeError(f"cannot format {type(result)}")

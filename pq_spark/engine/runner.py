@@ -64,13 +64,30 @@ class ProgramResult:
     def output_lines(self, strict_checks: bool = True) -> list[str]:
         try:
             if self.kind == "query":
-                if self.formatter in ("promapi", "json", None):
+                if self.formatter == "promapi":
                     return fmt.promapi_lines(self.query_result, strict_checks)
+                if self.formatter == "json":
+                    # to_json delegates vectors to promapi; scalars render
+                    # as a bare number (reference: src/format/json.rs:88-95)
+                    from .frames import ScalarResult
+                    from ..floatfmt import rust_f64_str
+
+                    if isinstance(self.query_result, ScalarResult):
+                        return [rust_f64_str(self.query_result.value)]
+                    return fmt.promapi_lines(self.query_result, strict_checks)
+                # default: human-readable
+                return fmt.promhuman_lines(self.query_result, strict_checks)
             if self.kind == "entries":
-                return fmt.entries_json_lines(self.entries)
+                if self.formatter == "json":
+                    return fmt.entries_json_lines(self.entries)
+                if self.formatter is None:
+                    return fmt.entries_human_lines(self.entries)
             if self.kind == "records":
-                return fmt.records_json_lines(self.records)
-            raise PqError(f"no formatter for {self.kind}")
+                if self.formatter == "json":
+                    return fmt.records_json_lines(self.records)
+                if self.formatter is None:
+                    return fmt.records_human_lines(self.records)
+            raise PqError(f"unsupported formatter for {self.kind} output")
         finally:
             if self._cached is not None:
                 self._cached.unpersist()

@@ -1,0 +1,269 @@
+"""Independent pure-Python simulator of the pq evaluation semantics.
+
+A second, from-scratch implementation (plain dicts/lists, no Spark) of the
+semantics documented in SURVEY.md §2.4-2.7 — used by the property tests to
+cross-check the DataFrame planner on randomized inputs. Deliberately
+structured differently from both the reference (iterator pull) and the
+engine (DataFrame plans): it materializes everything eagerly.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+F64_EPSILON = 2.220446049250313e-16
+NAME = "__name__"
+
+
+def sig_of(labels: dict) -> str:
+    return "".join(f"{k}\xff{v}" for k, v in sorted(labels.items()))
+
+
+class Sim:
+    def __init__(self, samples, interval, lookback, since=None):
+        # samples: list of (seq, ts, labels incl __name__, value), ts ms
+        self.samples = sorted(samples, key=lambda s: (s[1], s[0]))
+        self.interval = interval
+        self.lookback = lookback
+        self.since = since
+
+    # ---- selectors -------------------------------------------------------
+
+    def _matches(self, labels, matchers):
+        for (k, op, v) in matchers:
+            lv = labels.get(k)
+            if lv is None:
+                return False
+            if op == "=" and lv != v:
+                return False
+            if op == "!=" and lv == v:
+                return False
+            if op == "=~" and re.match(f"^(?:{v})$", lv) is None:
+                return False
+            if op == "!~" and re.match(f"^(?:{v})$", lv) is not None:
+                return False
+        return True
+
+    def selector(self, matchers, duration=None):
+        """Returns (grid, cells): grid = [instants]; cells = {instant:
+        [(labels, value)...] sig-ordered} for instant vectors, or window
+        point lists for range vectors."""
+        lb = duration if duration is not None else self.lookback
+        matched = [s for s in self.samples if self._matches(s[2], matchers)]
+        if not matched:
+            return [], {}
+        tsmin = min(s[1] for s in matched)
+        tsmax = max(s[1] for s in matched)
+        anchor = self.since if self.since is not None else tsmin
+        t0 = anchor + min(lb, self.interval) - 1
+        if tsmax + lb - 1 < t0:
+            return [], {}
+        kend = (tsmax + lb - 1 - t0) // self.interval
+        grid = [t0 + k * self.interval for k in range(kend + 1)]
+
+        cells = {}
+        for t in grid:
+            per_series = {}
+            for (seq, ts, labels, value) in matched:
+                if t - lb < ts <= t:
+                    per_series.setdefault(sig_of(labels), []).append(
+                        (ts, seq, labels, value)
+                    )
+            out = []
+            for sg in sorted(per_series):
+                pts = sorted(per_series[sg], key=lambda p: (p[0], p[1]))
+                if duration is None:
+                    ts_, seq_, labels_, value_ = pts[-1]
+                    out.append((labels_, value_))
+                else:
+                    out.append((pts[0][2], [(p[0], p[1], p[3]) for p in pts]))
+            if out:
+                cells[t] = out
+        return grid, cells
+
+    # ---- aggregation ------------------------------------------------------
+
+    @staticmethod
+    def _group_labels(labels, modifier):
+        if modifier is None:
+            return {}
+        kind, names = modifier
+        if kind == "by":
+            return {k: v for k, v in labels.items() if k != NAME and k in names}
+        return {k: v for k, v in labels.items() if k != NAME and k not in names}
+
+    def aggregate(self, op, frame, modifier=None, arg=None):
+        grid, cells = frame
+        out_cells = {}
+        for t, samples in cells.items():
+            groups = {}
+            order = []
+            for labels, value in samples:
+                gl = self._group_labels(labels, modifier)
+                gs = sig_of(gl)
+                if gs not in groups:
+                    groups[gs] = (gl, [])
+                    order.append(gs)
+                groups[gs][1].append(value)
+            out = []
+            for gs in sorted(groups):
+                gl, vals = groups[gs]
+                if op == "sum":
+                    v = math.fsum(vals) if False else sum(vals)
+                elif op == "min":
+                    v = min(vals)
+                elif op == "max":
+                    v = max(vals)
+                elif op == "avg":
+                    v = sum(vals) / len(vals)
+                elif op == "count":
+                    v = vals[0] + (len(vals) - 1)  # pq seeding quirk
+                elif op == "group":
+                    v = 1.0 if len(vals) > 1 else vals[0]
+                else:
+                    raise NotImplementedError(op)
+                out.append((gl, float(v)))
+            if out or True:
+                out_cells[t] = out
+        return grid, {t: v for t, v in out_cells.items() if v}
+
+    # ---- over-time functions ---------------------------------------------
+
+    def over_time(self, fn, frame):
+        grid, cells = frame
+        out_cells = {}
+        for t, series in cells.items():
+            out = []
+            for labels, pts in series:  # pts: [(ts, seq, value)] asc
+                vals = [p[2] for p in pts]
+                if fn == "count_over_time":
+                    v = float(len(vals))
+                elif fn == "sum_over_time":
+                    v = sum(vals)
+                elif fn == "min_over_time":
+                    v = min(vals)
+                elif fn == "max_over_time":
+                    v = max(vals)
+                elif fn == "avg_over_time":
+                    v = sum(vals) / len(vals)
+                elif fn == "last_over_time":
+                    v = vals[0]  # pq oldest-point quirk
+                else:
+                    raise NotImplementedError(fn)
+                out.append(({k: lv for k, lv in labels.items() if k != NAME}, float(v)))
+            if out:
+                out_cells[t] = out
+        return grid, out_cells
+
+    # ---- binary -----------------------------------------------------------
+
+    @staticmethod
+    def _scalar_op(op, a, b):
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            if b == 0:
+                return math.inf if a > 0 else (-math.inf if a < 0 else math.nan)
+            return a / b
+        if op == "%":
+            return math.fmod(a, b) if b != 0 else math.nan
+        if op == "^":
+            return math.pow(a, b)
+        if op == "==":
+            return float(abs(a - b) < F64_EPSILON)
+        if op == "!=":
+            return float(abs(a - b) > F64_EPSILON)
+        if op == ">":
+            return float(a > b)
+        if op == ">=":
+            return float(a >= b)
+        if op == "<":
+            return float(a < b)
+        if op == "<=":
+            return float(a <= b)
+        raise NotImplementedError(op)
+
+    def vector_scalar(self, op, frame, scalar, scalar_on_left, bool_mod):
+        grid, cells = frame
+        comparison = op in ("==", "!=", ">", ">=", "<", "<=")
+        keep_name = comparison and not bool_mod
+        out_cells = {}
+        for t, series in cells.items():
+            out = []
+            for labels, v in series:
+                a, b = (scalar, v) if scalar_on_left else (v, scalar)
+                r = self._scalar_op(op, a, b)
+                if comparison and not bool_mod:
+                    if r == 0.0:
+                        continue
+                    r = v  # keeps the vector side's value
+                nl = labels if keep_name else {
+                    k: lv for k, lv in labels.items() if k != NAME
+                }
+                out.append((nl, float(r)))
+            if out:
+                out_cells[t] = out
+        return grid, out_cells
+
+    @staticmethod
+    def _match_labels(labels, matching):
+        if matching is None:
+            return {k: v for k, v in labels.items() if k != NAME}
+        kind, names = matching
+        if kind == "on":
+            return {k: v for k, v in labels.items() if k != NAME and k in names}
+        return {k: v for k, v in labels.items() if k != NAME and k not in names}
+
+    def vector_vector(self, op, lframe, rframe, matching=None, bool_mod=False):
+        lgrid, lcells = lframe
+        rgrid, rcells = rframe
+        if not lgrid or not rgrid:
+            return [], {}
+        cutoff = min(max(lgrid), max(rgrid))
+        grid = sorted(set(lgrid) | set(rgrid))
+        grid = [t for t in grid if t <= cutoff]
+        comparison = op in ("==", "!=", ">", ">=", "<", "<=")
+        keep_name = comparison and not bool_mod
+        out_cells = {}
+        for t in grid:
+            if t not in lcells or t not in rcells:
+                continue
+            rhs = {}
+            for labels, v in rcells[t]:
+                ms = sig_of(self._match_labels(labels, matching))
+                if ms in rhs:
+                    raise ValueError("duplicate series")
+                rhs[ms] = v
+            out = []
+            seen = set()
+            for labels, lv in lcells[t]:
+                ml = self._match_labels(labels, matching)
+                ms = sig_of(ml)
+                if ms not in rhs:
+                    continue
+                r = self._scalar_op(op, lv, rhs[ms])
+                if comparison and not bool_mod:
+                    if r == 0.0:
+                        continue
+                    r = lv
+                if ms in seen:
+                    raise ValueError("many-to-one")
+                seen.add(ms)
+                nl = dict(ml)
+                if keep_name and NAME in labels:
+                    nl[NAME] = labels[NAME]
+                out.append((nl, float(r)))
+            if out:
+                out_cells[t] = out
+        return grid, out_cells
+
+    def unary_minus(self, frame):
+        grid, cells = frame
+        return grid, {
+            t: [(labels, -v) for labels, v in series] for t, series in cells.items()
+        }

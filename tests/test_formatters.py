@@ -1,0 +1,65 @@
+"""Decoder-only / mapper-only program outputs (json + human formatters)."""
+
+from pq_spark import PqEngine
+
+LOG = [
+    "2021-01-01T00:00:01 bob 42",
+    "2021-01-01T00:00:02 sarah 25",
+    "garbage line !!!",
+]
+
+PAT = r"/([^\s]+)\s(\w+)\s(\d+)/"
+MAP = '| map {.0:ts "%Y-%m-%dT%H:%M:%S", .1 as name, .2 as age}'
+
+
+def test_decoder_only_json(spark):
+    res = PqEngine(spark).run_program(PAT + " | to_json", LOG)
+    assert res.output_lines() == [
+        '["2021-01-01T00:00:01","bob","42"]',
+        '["2021-01-01T00:00:02","sarah","25"]',
+    ]
+
+
+def test_decoder_only_human(spark):
+    res = PqEngine(spark).run_program(PAT, LOG)
+    assert res.output_lines() == [
+        "2021-01-01T00:00:01\tbob\t42",
+        "2021-01-01T00:00:02\tsarah\t25",
+    ]
+
+
+def test_mapper_only_json(spark):
+    res = PqEngine(spark).run_program(PAT + " " + MAP + " | to_json", LOG)
+    assert res.output_lines() == [
+        '{"timestamp":1609459201000,"labels":{"name":"bob"},"values":{"age":42.0}}',
+        '{"timestamp":1609459202000,"labels":{"name":"sarah"},"values":{"age":25.0}}',
+    ]
+
+
+def test_mapper_only_human(spark):
+    res = PqEngine(spark).run_program(PAT + " " + MAP, LOG)
+    assert res.output_lines() == [
+        "2021-01-01T00:00:01.000\tname=bob\tage=42",
+        "2021-01-01T00:00:02.000\tname=sarah\tage=25",
+    ]
+
+
+def test_query_human(spark):
+    res = PqEngine(spark).run_program(PAT + " " + MAP + " | select sum(age)", LOG)
+    lines = res.output_lines()
+    # empty vectors produce no output lines in non-verbose human mode
+    # aggregation drops all labels (and __name__) → just "ts\tvalue"
+    assert lines[0] == "2021-01-01T00:00:01.000\t42"
+    assert lines[-1] == "2021-01-01T00:00:02.000\t67"
+
+
+def test_json_decoder_program(spark):
+    res = PqEngine(spark).run_program("json | to_json", [
+        '{"user":"bob","latency":0.25,"ok":true,"nested":{"x":1}}',
+        '[1, "a", null]',
+        "not json",
+    ])
+    assert res.output_lines() == [
+        '{"latency":"0.25","ok":"true","user":"bob"}',
+        '["1","a","null"]',
+    ]

@@ -1,0 +1,156 @@
+"""Property-based cross-check: the Spark planner vs an independent
+pure-Python simulator of the pq semantics (tests/oracle_sim.py), on
+randomized sample streams.
+
+Each hypothesis example builds a samples DataFrame, runs a fixed set of
+query shapes through BOTH implementations, and compares (grid, cells) —
+values bit-for-bit, ordering by series signature."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pq_spark.engine.frames import VectorFrame
+from pq_spark.engine.runner import PqEngine
+from tests.oracle_sim import NAME, Sim, sig_of
+
+INTERVAL = 1000
+LOOKBACK = 1000
+
+sample_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["m", "n"]),                       # metric
+        st.sampled_from([("a", "x"), ("a", "y"), ("b", "z")]),  # one label
+        st.integers(min_value=0, max_value=15_000),        # ts ms
+        st.integers(min_value=-50, max_value=50),          # value
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+QUERIES = [
+    "m",
+    '{__name__=~"m|n"}',
+    "sum(m)",
+    'sum by (a) ({__name__=~"m|n"})',
+    "avg by (a) (m)",
+    "count(m)",
+    "min without (b) (m)",
+    "count_over_time(m[3s])",
+    "sum_over_time(m[2s])",
+    "last_over_time(m[3s])",
+    "m * 2 + 1",
+    "m > 0",
+    "m >= bool 10",
+    "-m",
+]
+
+
+def _sim_query(sim: Sim, q: str):
+    if q == "m":
+        return sim.selector([(NAME, "=", "m")])
+    if q == '{__name__=~"m|n"}':
+        return sim.selector([(NAME, "=~", "m|n")])
+    if q == "sum(m)":
+        return sim.aggregate("sum", sim.selector([(NAME, "=", "m")]))
+    if q == 'sum by (a) ({__name__=~"m|n"})':
+        return sim.aggregate(
+            "sum", sim.selector([(NAME, "=~", "m|n")]), ("by", {"a"})
+        )
+    if q == "avg by (a) (m)":
+        return sim.aggregate("avg", sim.selector([(NAME, "=", "m")]), ("by", {"a"}))
+    if q == "count(m)":
+        return sim.aggregate("count", sim.selector([(NAME, "=", "m")]))
+    if q == "min without (b) (m)":
+        return sim.aggregate(
+            "min", sim.selector([(NAME, "=", "m")]), ("without", {"b"})
+        )
+    if q == "count_over_time(m[3s])":
+        return sim.over_time(
+            "count_over_time", sim.selector([(NAME, "=", "m")], duration=3000)
+        )
+    if q == "sum_over_time(m[2s])":
+        return sim.over_time(
+            "sum_over_time", sim.selector([(NAME, "=", "m")], duration=2000)
+        )
+    if q == "last_over_time(m[3s])":
+        return sim.over_time(
+            "last_over_time", sim.selector([(NAME, "=", "m")], duration=3000)
+        )
+    if q == "m * 2 + 1":
+        g = sim.vector_scalar("*", sim.selector([(NAME, "=", "m")]), 2.0, False, False)
+        return sim.vector_scalar("+", g, 1.0, False, False)
+    if q == "m > 0":
+        return sim.vector_scalar(">", sim.selector([(NAME, "=", "m")]), 0.0, False, False)
+    if q == "m >= bool 10":
+        return sim.vector_scalar(">=", sim.selector([(NAME, "=", "m")]), 10.0, False, True)
+    if q == "-m":
+        return sim.unary_minus(sim.selector([(NAME, "=", "m")]))
+    raise AssertionError(q)
+
+
+def _interval_for(q: str) -> int:
+    if "[3s]" in q:
+        return 3000
+    if "[2s]" in q:
+        return 2000
+    return INTERVAL
+
+
+def _collect_engine(vf: VectorFrame):
+    grid = sorted(r["instant"] for r in vf.grid.collect())
+    cells = {}
+    for r in vf.cells.orderBy("instant", "ord").collect():
+        cells.setdefault(r["instant"], []).append((dict(r["labels"]), r["value"]))
+    return grid, cells
+
+
+def _canon(v: float):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _canon_cells(cells):
+    return {
+        t: sorted(
+            ((sig_of(l), _canon(v)) for l, v in series), key=lambda x: x[0]
+        )
+        for t, series in cells.items()
+        if series
+    }
+
+
+@pytest.mark.slow
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=sample_strategy)
+def test_engine_matches_simulator(spark, data):
+    samples_rows = []
+    sim_rows = []
+    for i, (name, (lk, lv), ts, val) in enumerate(data):
+        labels = {NAME: name, lk: lv}
+        samples_rows.append((i + 1, ts, name, labels, float(val)))
+        sim_rows.append((i + 1, ts, labels, float(val)))
+
+    schema = "seq long, ts long, name string, labels map<string,string>, value double"
+    sdf = spark.createDataFrame(samples_rows, schema)
+    engine = PqEngine(spark, strict=False)
+
+    for q in QUERIES:
+        iv = _interval_for(q)
+        sim = Sim(sim_rows, iv, iv)
+        expected_grid, expected_cells = _sim_query(sim, q)
+
+        # engine: range selectors infer their own interval from the query
+        result = engine.evaluate(q, sdf)
+        assert isinstance(result, VectorFrame), q
+        got_grid, got_cells = _collect_engine(result)
+
+        assert got_grid == expected_grid, f"{q}: grid mismatch"
+        assert _canon_cells(got_cells) == _canon_cells(expected_cells), (
+            f"{q}: cells mismatch\n sim={_canon_cells(expected_cells)}\n "
+            f"eng={_canon_cells(got_cells)}\n data={data}"
+        )

@@ -100,7 +100,7 @@ def run_pipeline_bench(spark, sf: float, n_pages: int | None, out_dir: str) -> d
     n = n_pages if n_pages is not None else max(int(sf * 4_000_000), 20_000)
     pages = synth_pages(spark, n)
     metrics = run_pipeline(
-        spark, pages, out_dir, salt_buckets=8, gorilla_block_ms=6 * 3_600_000,
+        spark, pages, out_dir, salt_buckets=0, gorilla_block_ms=6 * 3_600_000,
         cache_pages=True,
     )
     metrics["n_pages"] = n

@@ -252,16 +252,19 @@ def pack_blocks(
     from ..engine.planner import sig_expr
     from .tiers import series_dim
 
+    from .tiers import series_key
+
     super_ms = block_ms * blocks_per_group
-    narrow_input = "sig" in samples.columns and "labels" not in samples.columns
+    narrow_input = "skey" in samples.columns and "labels" not in samples.columns
     if dim is None:
         if narrow_input:
             raise ValueError("narrow fact input requires an explicit series dim")
         dim = series_dim(samples)
-    # NARROW kernel input: label maps stay out of the shuffle and out of the
-    # Arrow→pandas conversion; they rejoin from the tiny series dim below.
+    # NARROW kernel input: 8-byte series keys instead of signature strings;
+    # label maps and sigs rejoin from the tiny series dim below.
     keyed = samples.select(
-        (F.col("sig") if narrow_input else sig_expr(F.col("labels"))).alias("sig"),
+        (F.col("skey") if narrow_input
+         else series_key(sig_expr(F.col("labels")))).alias("skey"),
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(super_ms))).alias("super_ts"),
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(block_ms))).alias("block_ts"),
         "ts", "seq", "value",
@@ -269,23 +272,23 @@ def pack_blocks(
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["block_ts", "ts", "seq"], kind="mergesort")
-        sig = pdf["sig"].iloc[0]
-        out = {k: [] for k in ("sig", "block_ts", "n", "raw_bytes", "blob")}
+        skey = pdf["skey"].iloc[0]
+        out = {k: [] for k in ("skey", "block_ts", "n", "raw_bytes", "blob")}
         for block_ts, grp in pdf.groupby("block_ts", sort=True):
             ts = grp["ts"].to_numpy(dtype=np.int64)
             vals = grp["value"].to_numpy(dtype=np.float64)
-            out["sig"].append(sig)
+            out["skey"].append(skey)
             out["block_ts"].append(block_ts)
             out["n"].append(len(ts))
             out["raw_bytes"].append(len(ts) * 16)
             out["blob"].append(pack_block(ts, vals))
         return pd.DataFrame(out)
 
-    packed = keyed.groupBy("sig", "super_ts").applyInPandas(
+    packed = keyed.groupBy("skey", "super_ts").applyInPandas(
         encode,
-        "sig string, block_ts long, n long, raw_bytes long, blob binary",
+        "skey long, block_ts long, n long, raw_bytes long, blob binary",
     )
-    return packed.join(dim, "sig").select(
+    return packed.join(dim, "skey").select(
         "sig", "block_ts", "name", "labels", "n", "raw_bytes", "blob"
     )
 

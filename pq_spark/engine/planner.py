@@ -230,7 +230,13 @@ class Planner:
     # -- selectors -------------------------------------------------------------
 
     def _matcher_filter(self, m: LabelMatcher) -> Column:
-        col = F.col("name") if m.label == NAME_LABEL else F.col("labels").getItem(m.label)
+        if m.label == NAME_LABEL:
+            col = F.col("name")
+        elif f"_lbl_{m.label}" in self.ctx.samples.columns:
+            # scan-pushable passthrough column (table-ingested samples)
+            col = F.col(f"_lbl_{m.label}")
+        else:
+            col = F.col("labels").getItem(m.label)
         # missing label never matches, even negated ops (vector.rs:56-64)
         if m.op == "=":
             return col == F.lit(m.value)

@@ -109,6 +109,15 @@ def tier_partials(
         "value",
     )
 
+    # packed (ts, seq) ordering key: min_by/max_by over a LONG keeps the
+    # aggregation in HashAggregate (a struct key forces SortAggregate — a
+    # per-partition sort). Tie caveat: two samples of one series in the SAME
+    # millisecond whose seqs differ by a multiple of 2^21 would tie-break
+    # arbitrarily; all drivers keep seq (event_id / line_no) far below 2^21
+    # per ms.
+    _B = F.lit(1 << 21)
+    base = base.withColumn("_okey", F.col("ts") * _B + F.pmod(F.col("seq"), _B))
+
     def aggs(g):
         return g.agg(
             F.count("value").alias("cnt"),
@@ -116,9 +125,9 @@ def tier_partials(
             F.min("value").alias("min"),
             F.max("value").alias("max"),
             F.min("ts").alias("first_ts"),
-            F.min_by("value", F.struct("ts", "seq")).alias("first_val"),
+            F.min_by("value", "_okey").alias("first_val"),
             F.max("ts").alias("last_ts"),
-            F.max_by("value", F.struct("ts", "seq")).alias("last_val"),
+            F.max_by("value", "_okey").alias("last_val"),
         )
 
     if salt_buckets > 1:

@@ -35,6 +35,11 @@ DAY_MS = 86_400_000
 
 
 def _par(spark) -> int:
+    # queries may run in the driver's own session (possibly ANSI-on) —
+    # apply the engine's session defaults first (runtime-settable confs)
+    from .engine.runner import configure_session
+
+    configure_session(spark)
     return spark.sparkContext.defaultParallelism
 
 

@@ -465,6 +465,11 @@ class Planner:
             if not isinstance(arg, VectorFrame):
                 raise PqError(f"{name} expects an instant vector")
             return self._clamp(name, arg, node.args[1:])
+        if self.ctx.extensions and name == "label_replace":
+            arg = self.plan(node.args[0])
+            if not isinstance(arg, VectorFrame):
+                raise PqError("label_replace expects an instant vector")
+            return self._label_replace(arg, *node.args[1:5])
         # reference: create_func_evaluator panics "Coming soon..."
         # (function.rs:27) for clamp*/vector/label_replace
         raise PqError(f"function {name} is not implemented")
@@ -559,6 +564,35 @@ class Planner:
             val.alias("value"),
         )
         return VectorFrame(rf.grid, cells, rf.checks)
+
+    def _label_replace(
+        self, vf: VectorFrame, dst: str, replacement: str, src: str, regex: str
+    ) -> VectorFrame:
+        """Extension (Prometheus semantics): when ``regex`` fully matches
+        the ``src`` label value, set ``dst`` to ``replacement`` with $N
+        capture references; otherwise the sample passes unchanged."""
+        anchored = f"^(?:{regex})$"
+        src_val = F.coalesce(F.col("labels").getItem(src), F.lit(""))
+        new_val = F.regexp_replace(src_val, anchored, replacement)
+        matched = src_val.rlike(anchored)
+        out_labels = F.when(
+            matched & (new_val != ""),
+            F.map_concat(
+                F.map_filter(F.col("labels"), lambda k, _: k != F.lit(dst)),
+                F.create_map(F.lit(dst), new_val),
+            ),
+        ).when(
+            matched & (new_val == ""),
+            F.map_filter(F.col("labels"), lambda k, _: k != F.lit(dst)),
+        ).otherwise(F.col("labels"))
+        cells = vf.cells.select(
+            "instant",
+            sig_expr(out_labels).alias("sig"),
+            out_labels.alias("labels"),
+            "ord",
+            "value",
+        )
+        return VectorFrame(vf.grid, cells, vf.checks)
 
     def _clamp(self, name: str, vf: VectorFrame, args: list) -> VectorFrame:
         v = F.col("value")

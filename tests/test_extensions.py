@@ -1,0 +1,84 @@
+"""Extension operators (beyond the reference's executable surface):
+quantile/stddev/stdvar, clamp family, label_replace, logical ops, rate."""
+
+import pytest
+
+from pq_spark.engine.frames import VectorFrame
+from pq_spark.engine.runner import PqEngine
+from pq_spark.errors import PqError
+
+SCHEMA = "seq long, ts long, name string, labels map<string,string>, value double"
+
+ROWS = [
+    (1, 1000, "m", {"__name__": "m", "a": "x1"}, 1.0),
+    (2, 1000, "m", {"__name__": "m", "a": "y2"}, 3.0),
+    (3, 1000, "m", {"__name__": "m", "a": "z"}, 5.0),
+    (4, 1000, "n", {"__name__": "n", "a": "x1"}, 7.0),
+]
+
+
+@pytest.fixture()
+def samples(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def _cells(result: VectorFrame):
+    return sorted(
+        (r["instant"], tuple(sorted(r["labels"].items())), r["value"])
+        for r in result.cells.collect()
+    )
+
+
+def test_reference_parity_rejects_extensions(spark, samples):
+    eng = PqEngine(spark, extensions=False)
+    for q in ["quantile(0.5, m)", "stddev(m)", "clamp(m, 0, 2)",
+              'label_replace(m, "b", "$1", "a", "(x)1")', "m and n"]:
+        with pytest.raises(PqError):
+            eng.evaluate(q, samples)
+
+
+def test_quantile_stddev(spark, samples):
+    eng = PqEngine(spark, extensions=True)
+    got = _cells(eng.evaluate("quantile(0.5, m)", samples))
+    assert got[0][2] == 3.0
+    got = _cells(eng.evaluate("stdvar(m)", samples))
+    assert abs(got[0][2] - 8.0 / 3.0) < 1e-12
+
+
+def test_clamp(spark, samples):
+    eng = PqEngine(spark, extensions=True)
+    got = _cells(eng.evaluate("clamp(m, 2, 4)", samples))
+    assert [v for (_, _, v) in got] == [2.0, 3.0, 4.0]
+
+
+def test_label_replace(spark, samples):
+    eng = PqEngine(spark, extensions=True)
+    got = _cells(eng.evaluate('label_replace(m, "b", "got-$1", "a", "(x)1")', samples))
+    by_a = {dict(l).get("a"): dict(l).get("b") for (_, l, _) in got}
+    assert by_a == {"x1": "got-x", "y2": None, "z": None}
+
+
+def test_logical_ops(spark, samples):
+    eng = PqEngine(spark, extensions=True)
+    got = _cells(eng.evaluate("m and n", samples))
+    # 'and' keeps lhs samples whose match-labels exist on the rhs
+    assert [dict(l)["a"] for (_, l, _) in got] == ["x1"]
+    got = _cells(eng.evaluate("m unless n", samples))
+    assert sorted(dict(l)["a"] for (_, l, _) in got) == ["y2", "z"]
+    # n's only series shares match-labels {a: x1} with an lhs series, so
+    # 'or' contributes nothing beyond the three m series
+    got = _cells(eng.evaluate("m or n", samples))
+    assert len(got) == 3
+
+
+def test_rate(spark):
+    rows = [
+        (1, 0, "c", {"__name__": "c"}, 0.0),
+        (2, 10_000, "c", {"__name__": "c"}, 50.0),
+        (3, 20_000, "c", {"__name__": "c"}, 100.0),
+    ]
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    eng = PqEngine(spark, extensions=True)
+    got = _cells(eng.evaluate("rate(c[30s])", sdf, interval_ms=30_000))
+    # window ending 29.999s: first=0@0s, last=100@20s → 100/20 = 5/s
+    assert got[0][2] == 5.0

@@ -285,12 +285,25 @@ class Planner:
             ).alias("instant")
         )
 
+        # the series dim (sig → labels) rides OUTSIDE the big shuffle: the
+        # serving-instant explode and the gap-fill aggregation move only
+        # (instant, sig, value, ts, seq); the label map joins back
+        # broadcast-style onto the (series × instants)-sized result.
+        sel_dim = (
+            matched.select(sig_expr(F.col("labels")).alias("sig"), "labels")
+            .dropDuplicates(["sig"])
+        )
+
         j = matched.crossJoin(F.broadcast(params.filter(F.col("_kend").isNotNull())))
         k0 = F.greatest(F.lit(0).cast("long"), _ceildiv(F.col("ts") - F.col("_t0"), interval))
         k1 = F.least(
             F.col("_kend"),
             _floordiv(F.col("ts") + F.lit(lookback - 1) - F.col("_t0"), interval),
         )
+        # packed (ts, seq) ordering key keeps the gap-fill agg in
+        # HashAggregate (struct keys force SortAggregate); ties only wrap at
+        # seq deltas of 2^21 within one millisecond of one series
+        okey = (F.col("ts") * F.lit(1 << 21) + F.pmod(F.col("seq"), F.lit(1 << 21))).alias("_okey")
         served = (
             j.withColumn("_k0", k0)
             .withColumn("_k1", k1)
@@ -299,30 +312,32 @@ class Planner:
                 F.explode(F.sequence("_k0", "_k1")).alias("_k"),
                 "_t0",
                 sig_expr(F.col("labels")).alias("sig"),
-                "labels",
                 "value",
                 "ts",
                 "seq",
+                okey,
             )
             .select(
                 (F.col("_t0") + F.col("_k") * F.lit(interval)).alias("instant"),
                 "sig",
-                "labels",
                 "value",
                 "ts",
                 "seq",
+                "_okey",
             )
         )
 
         if sel.duration_ms is None:
             # instant vector: latest sample per series in the lookback window
-            cells = served.groupBy("instant", "sig").agg(
-                F.max_by("value", F.struct("ts", "seq")).alias("value"),
-                F.max_by("labels", F.struct("ts", "seq")).alias("labels"),
-            ).select("instant", "sig", "labels", F.col("sig").alias("ord"), "value")
+            agg = served.groupBy("instant", "sig").agg(
+                F.max_by("value", "_okey").alias("value"),
+            )
+            cells = agg.join(sel_dim, "sig").select(
+                "instant", "sig", "labels", F.col("sig").alias("ord"), "value"
+            )
             return VectorFrame(grid, cells)
 
-        points = served.select(
+        points = served.join(sel_dim, "sig").select(
             "instant", "sig", "labels", F.col("sig").alias("ord"), "value", "ts", "seq"
         )
         return RangeFrame(grid, points)

@@ -719,8 +719,11 @@ class Planner:
         self, node: BinaryOperation, lhs: VectorFrame, rhs: VectorFrame
     ) -> VectorFrame:
         if node.group_modifier is not None:
-            # parsed but unimplemented in the reference (value.rs:131-150)
-            raise PqError("group_left/group_right matching is not implemented")
+            # parsed but unimplemented in the reference (value.rs:131-150);
+            # extension implements Prometheus many-to-one semantics
+            if not self.ctx.extensions:
+                raise PqError("group_left/group_right matching is not implemented")
+            return self._vector_vector_grouped(node, lhs, rhs)
 
         kind = op_kind(node.op)
         keep_name = kind == "comparison" and not node.bool_modifier
@@ -796,6 +799,82 @@ class Planner:
                     "group_left/group_right modifier",
                 )
             )
+        return VectorFrame(grid, cells, checks)
+
+    def _vector_vector_grouped(
+        self, node: BinaryOperation, lhs: VectorFrame, rhs: VectorFrame
+    ) -> VectorFrame:
+        """Extension: Prometheus group_left/group_right (many-to-one).
+
+        The 'many' side keeps its full label set (minus __name__ for
+        arithmetic); listed include-labels are copied over from the 'one'
+        side; the 'one' side must be unique per (instant, match-sig)."""
+        kind, include = node.group_modifier
+        matching = node.label_matching
+        opk = op_kind(node.op)
+        keep_name = opk == "comparison" and not node.bool_modifier
+
+        many, one = (lhs, rhs) if kind == "left" else (rhs, lhs)
+        grid = self._grid_merge(lhs.grid, rhs.grid)
+
+        mc = many.cells.select(
+            "instant",
+            sig_expr(match_labels_expr(F.col("labels"), matching)).alias("_msig"),
+            F.col("labels").alias("_mlabels"),
+            F.col("ord").alias("_mord"),
+            F.col("value").alias("_mvalue"),
+        )
+        oc = one.cells.select(
+            "instant",
+            sig_expr(match_labels_expr(F.col("labels"), matching)).alias("_msig"),
+            F.col("labels").alias("_olabels"),
+            F.col("value").alias("_ovalue"),
+        )
+        joined = mc.join(oc, ["instant", "_msig"])
+
+        l, r = (
+            (F.col("_mvalue"), F.col("_ovalue"))
+            if kind == "left"
+            else (F.col("_ovalue"), F.col("_mvalue"))
+        )
+        if opk == "comparison":
+            pred = _compare_pred(node.op, l, r)
+            if node.bool_modifier:
+                joined = joined.withColumn(
+                    "_value", F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+                )
+            else:
+                joined = joined.filter(pred).withColumn("_value", l)
+        else:
+            joined = joined.withColumn("_value", _binop_col(node.op, l, r))
+
+        def _drop_key(m, key):
+            def fn(k, _):
+                return k != F.lit(key)
+
+            return F.map_filter(m, fn)
+
+        out_labels = F.col("_mlabels")
+        if not keep_name:
+            out_labels = _drop_key(out_labels, NAME_LABEL)
+        for lbl in include:
+            ov = F.col("_olabels").getItem(lbl)
+            out_labels = F.when(
+                ov.isNotNull(),
+                F.map_concat(_drop_key(out_labels, lbl), F.create_map(F.lit(lbl), ov)),
+            ).otherwise(_drop_key(out_labels, lbl))
+
+        cells = joined.select(
+            "instant",
+            sig_expr(out_labels).alias("sig"),
+            out_labels.alias("labels"),
+            F.col("_mord").alias("ord"),
+            F.col("_value").alias("value"),
+        )
+        checks = list(lhs.checks) + list(rhs.checks)
+        if self.ctx.strict:
+            dup_one = oc.groupBy("instant", "_msig").count().filter(F.col("count") > 1)
+            checks.append(Check(dup_one, "multiple matches on the 'one' side"))
         return VectorFrame(grid, cells, checks)
 
     def _logical(self, node: BinaryOperation, lhs, rhs) -> VectorFrame:

@@ -82,3 +82,27 @@ def test_rate(spark):
     got = _cells(eng.evaluate("rate(c[30s])", sdf, interval_ms=30_000))
     # window ending 29.999s: first=0@0s, last=100@20s → 100/20 = 5/s
     assert got[0][2] == 5.0
+
+
+def test_group_left(spark):
+    rows = [
+        # many side: per-path request counts
+        (1, 1000, "req", {"__name__": "req", "job": "api", "path": "/a"}, 10.0),
+        (2, 1000, "req", {"__name__": "req", "job": "api", "path": "/b"}, 20.0),
+        # one side: per-job capacity
+        (3, 1000, "cap", {"__name__": "cap", "job": "api", "ver": "v2"}, 2.0),
+    ]
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    eng = PqEngine(spark, extensions=True)
+    got = _cells(eng.evaluate('req * on(job) group_left(ver) cap', sdf))
+    by_path = {dict(l)["path"]: (v, dict(l).get("ver")) for (_, l, v) in got}
+    assert by_path == {"/a": (20.0, "v2"), "/b": (40.0, "v2")}
+
+    # group_right mirrors operand roles
+    got = _cells(eng.evaluate('cap * on(job) group_right() req', sdf))
+    assert sorted(v for (_, _, v) in got) == [20.0, 40.0]
+
+    # reference parity: plan error when extensions are off
+    with pytest.raises(PqError):
+        PqEngine(spark, extensions=False).evaluate(
+            'req * on(job) group_left cap', sdf)

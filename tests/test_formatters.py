@@ -66,3 +66,30 @@ def test_json_decoder_program(spark):
         '{"latency":"0.25","ok":"true","user":"bob"}',
         '["1","a","null"]',
     ]
+
+
+def test_json_program_full_query(spark):
+    """JSON decoder → named map → select — full engine over Dict entries."""
+    lines = [
+        '{"time":"2021-01-01 00:00:02","user":"bob","latency":0.25}',
+        '{"time":"2021-01-01 00:00:02","user":"sarah","latency":0.5}',
+        '{"time":"2021-01-01 00:00:03","user":"bob","latency":1.25}',
+        '{"user":"nobody"}',
+    ]
+    program = (
+        'json | map {.time:ts "%Y-%m-%d %H:%M:%S", .user as user, '
+        ".latency:num as latency} | select sum(latency) by (user) | to_promapi"
+    )
+    from pq_spark import PqEngine
+
+    res = PqEngine(spark).run_program(program, lines)
+    out = res.output_lines()
+    assert out[0] == (
+        '{"resultType":"vector","result":['
+        '{"metric":{"user":"bob"},"value":[1609459202.999,"0.25"]},'
+        '{"metric":{"user":"sarah"},"value":[1609459202.999,"0.5"]}]}'
+    )
+    assert out[1] == (
+        '{"resultType":"vector","result":['
+        '{"metric":{"user":"bob"},"value":[1609459203.999,"1.25"]}]}'
+    )

@@ -45,6 +45,8 @@ QUERIES = [
     "m > 0",
     "m >= bool 10",
     "-m",
+    "m + n",
+    "sum(m) + sum(n)",
 ]
 
 
@@ -88,6 +90,16 @@ def _sim_query(sim: Sim, q: str):
         return sim.vector_scalar(">=", sim.selector([(NAME, "=", "m")]), 10.0, False, True)
     if q == "-m":
         return sim.unary_minus(sim.selector([(NAME, "=", "m")]))
+    if q == "m + n":
+        return sim.vector_vector(
+            "+", sim.selector([(NAME, "=", "m")]), sim.selector([(NAME, "=", "n")])
+        )
+    if q == "sum(m) + sum(n)":
+        return sim.vector_vector(
+            "+",
+            sim.aggregate("sum", sim.selector([(NAME, "=", "m")])),
+            sim.aggregate("sum", sim.selector([(NAME, "=", "n")])),
+        )
     raise AssertionError(q)
 
 

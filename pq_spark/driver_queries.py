@@ -699,3 +699,60 @@ register(
     "SELECT instant, et, ub,"
     "       CASE WHEN value >= 10 THEN 1.0 ELSE 0.0 END AS flag FROM latest",
 )
+
+
+# -- LSH candidate pairs + SimHash hamming pairs (scale-path dedup) ------------
+
+_BANDS = 4
+_ROWS_PER_BAND = _K_MINHASH // _BANDS
+
+_MH_COLS = ", ".join(
+    f"min({_hash_sql('sh', str(i))}) AS mh{i}" for i in range(_K_MINHASH)
+)
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, concat('"
+    + str(b)
+    + "_', "
+    + ", '_', ".join(f"CAST(mh{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+                     for r in range(_ROWS_PER_BAND))
+    + ") AS band_key FROM sig"
+    for b in range(_BANDS)
+)
+
+register(
+    "dedup_lsh_pairs",
+    lambda spark, sf: textops.minhash_lsh_pairs(
+        _docs(spark, sf), num_hashes=_K_MINHASH, bands=_BANDS
+    ),
+    f"""WITH {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+banded AS ({_BAND_SELECTS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band_key)
+WHERE a.doc_id < b.doc_id""",
+)
+
+_SIMHASH_CHUNKS = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, concat('{c}_', CAST((simhash >> {c * 15}) & 32767 AS VARCHAR)) AS chunk FROM s"
+    for c in range(4)
+)
+
+register(
+    "dedup_simhash_pairs",
+    lambda spark, sf: textops.simhash_pairs(_docs(spark, sf), max_hamming=6),
+    f"""WITH w AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS wd FROM documents
+),
+h AS (SELECT doc_id, {_hash_sql('wd', 'sim')} AS h FROM w),
+bits AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, {_SIMHASH_FP} AS simhash FROM bits),
+chunks AS ({_SIMHASH_CHUNKS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM chunks a JOIN chunks b USING (chunk)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 6""",
+)

@@ -136,7 +136,7 @@ def _canon_cells(cells):
 
 
 @pytest.mark.slow
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=sample_strategy)
 def test_engine_matches_simulator(spark, data):

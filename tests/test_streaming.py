@@ -41,7 +41,18 @@ def _run_stream(spark, df, name, mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # applyInPandasWithState queries may stay alive for state timeouts even
+    # under availableNow — wait for the data batches, then stop explicitly
+    import time as _time
+
+    deadline = _time.time() + 60
+    while q.isActive and _time.time() < deadline:
+        progress = q.lastProgress
+        if progress and progress.get("numInputRows", 0) == 0 and progress.get("batchId", 0) > 0:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
     return spark.sql(f"SELECT * FROM {name}")
 
 

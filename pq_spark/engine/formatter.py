@@ -75,13 +75,14 @@ def promapi_lines(result, strict_checks: bool = True) -> list[str]:
         return lines
 
     if isinstance(result, RangeFrame):
+        # narrow aggregation (packed _okey keeps it in HashAggregate); the
+        # series dim joins back broadcast-style after the per-window collect
         per_series = (
-            result.points.groupBy("instant", "sig")
+            result.facts.groupBy("instant", "skey")
             .agg(
-                F.sort_array(F.collect_list(F.struct("ts", "seq", "value"))).alias("_pts"),
-                F.min_by("labels", F.struct("ts", "seq")).alias("labels"),
-                F.first("ord").alias("ord"),
+                F.sort_array(F.collect_list(F.struct("_okey", "ts", "value"))).alias("_pts"),
             )
+            .join(F.broadcast(result.dim), "skey")
             .withColumn("_mj", _metric_json_col())
         )
         rows = (
@@ -229,12 +230,11 @@ def promhuman_lines(result, strict_checks: bool = True) -> list[str]:
 
     if isinstance(result, RangeFrame):
         per_series = (
-            result.points.groupBy("instant", "sig")
+            result.facts.groupBy("instant", "skey")
             .agg(
-                F.sort_array(F.collect_list(F.struct("ts", "seq", "value"))).alias("_pts"),
-                F.min_by("labels", F.struct("ts", "seq")).alias("labels"),
-                F.first("ord").alias("ord"),
+                F.sort_array(F.collect_list(F.struct("_okey", "ts", "value"))).alias("_pts"),
             )
+            .join(F.broadcast(result.dim), "skey")
             .orderBy("instant", "ord")
             .collect()
         )

@@ -20,9 +20,20 @@ gap-fill (reference: src/query/vector.rs) — is expressed as:
    partitions by (instant, series) — no skew pile-up on hot series at
    100 TB (hot *instants* are bounded by series cardinality per tick).
 
+Star-schema discipline (see frames.py): every combinator operates on the
+narrow fact relation keyed by the 64-bit ``skey``; label maps and signature
+strings live only in the per-series dim, where grouping/matching label
+algebra is computed ONCE per series, not per sample. Consequently no
+Exchange in any aggregate/over-time/binary plan carries a
+``map<string,string>`` or a signature string — the only exceptions are the
+reference's ordering quirks (count/group seeding, topk tie-breaks), where
+the ~60-byte ``ord`` string participates in the aggregation itself and
+rides the shuffle only as post-combine partial state (one row per group per
+input partition).
+
 Ordering parity: the reference materializes vectors in BTreeMap order of
-the byte signature (sorted ``k\\xffv`` concat) — we carry an ``ord`` column
-and sort on it at output time.
+the byte signature (sorted ``k\\xffv`` concat) — the dim carries an ``ord``
+string and the formatter sorts on it at output time.
 """
 
 from __future__ import annotations
@@ -65,6 +76,42 @@ def sig_expr(labels: Column) -> Column:
             lambda e: F.concat(e.getField("key"), F.lit("\xff"), e.getField("value")),
         ),
         "",
+    )
+
+
+_PAIR_SEP = "\xfe"
+
+
+def _sig2_expr(labels: Column) -> Column:
+    """Invertible signature variant: same sorted ``k\\xffv`` pairs, joined
+    with a ``\\xfe`` pair separator so the label map can be reconstructed
+    AFTER a shuffle. This lets the series-dim dedup run as a plain
+    string-distinct HashAggregate (grouping/first() on a map type forces
+    SortAggregate and would sort every fact row per partition); the map is
+    rebuilt only on the post-shuffle dim-sized rows. Caveat: like the
+    reference's own separator-free signature (labels.rs:51-57), this assumes
+    label text contains no ``\\xff``/``\\xfe`` control bytes."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(labels)),
+            lambda e: F.concat(e.getField("key"), F.lit("\xff"), e.getField("value")),
+        ),
+        _PAIR_SEP,
+    )
+
+
+def _labels_from_sig2(sig2: Column) -> Column:
+    """Rebuild the label map from the invertible signature."""
+    def entry(pair: Column):
+        key = F.substring_index(pair, "\xff", 1)
+        value = pair.substr(F.length(key) + F.lit(2), F.length(pair))
+        return F.struct(key.alias("key"), value.alias("value"))
+
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    return F.when(sig2 == "", empty).otherwise(
+        F.map_from_entries(F.transform(F.split(sig2, _PAIR_SEP), entry))
     )
 
 
@@ -148,11 +195,16 @@ def _binop_col(op: str, l: Column, r: Column) -> Column:
     if op == "*":
         return l * r
     if op == "/":
+        # IEEE sign rules for x/±0: the divisor's sign bit flips the Inf
+        # sign. Spark evaluates -0.0 == 0.0 as true, so detect the negative
+        # zero via its string form ("-0.0") — only consulted when r == 0.
+        neg_zero = r.cast("string").startswith("-")
+        pos_inf, neg_inf = F.lit(float("inf")), F.lit(float("-inf"))
         return (
             F.when(
                 r == 0.0,
-                F.when(l > 0, F.lit(float("inf")))
-                .when(l < 0, F.lit(float("-inf")))
+                F.when(l > 0, F.when(neg_zero, neg_inf).otherwise(pos_inf))
+                .when(l < 0, F.when(neg_zero, pos_inf).otherwise(neg_inf))
                 .otherwise(F.lit(float("nan"))),
             )
             .otherwise(l / r)
@@ -285,13 +337,29 @@ class Planner:
             ).alias("instant")
         )
 
-        # the series dim (sig → labels) rides OUTSIDE the big shuffle: the
-        # serving-instant explode and the gap-fill aggregation move only
-        # (instant, sig, value, ts, seq); the label map joins back
-        # broadcast-style onto the (series × instants)-sized result.
+        # star schema: fact rows carry only the 64-bit skey; the label map
+        # and signature string live in the per-series dim and join back
+        # broadcast-style at the output edge (frames.py). The big shuffles
+        # (serving-instant gap-fill agg) move longs + doubles only.
+        # dim discovery is the ONLY place label data crosses a shuffle, and
+        # it crosses as one invertible signature string per distinct series
+        # per partition (map-side combine): string-distinct HashAggregate,
+        # then the map is rebuilt on the dim-sized result. (Like the
+        # reference's separator-free signature itself, this treats label
+        # text containing \xff/\xfe as out of contract.)
         sel_dim = (
-            matched.select(sig_expr(F.col("labels")).alias("sig"), "labels")
-            .dropDuplicates(["sig"])
+            matched.select(_sig2_expr(F.col("labels")).alias("_sig2"))
+            .distinct()
+            .select(
+                F.replace(F.col("_sig2"), F.lit(_PAIR_SEP), F.lit("")).alias("sig"),
+                "_sig2",
+            )
+            .select(
+                F.xxhash64("sig").alias("skey"),
+                "sig",
+                _labels_from_sig2(F.col("_sig2")).alias("labels"),
+                F.col("sig").alias("ord"),
+            )
         )
 
         j = matched.crossJoin(F.broadcast(params.filter(F.col("_kend").isNotNull())))
@@ -308,10 +376,11 @@ class Planner:
             j.withColumn("_k0", k0)
             .withColumn("_k1", k1)
             .filter(F.col("_k1") >= F.col("_k0"))
+            .withColumn("skey", F.xxhash64(sig_expr(F.col("labels"))))
             .select(
                 F.explode(F.sequence("_k0", "_k1")).alias("_k"),
                 "_t0",
-                sig_expr(F.col("labels")).alias("sig"),
+                "skey",
                 "value",
                 "ts",
                 "seq",
@@ -319,7 +388,7 @@ class Planner:
             )
             .select(
                 (F.col("_t0") + F.col("_k") * F.lit(interval)).alias("instant"),
-                "sig",
+                "skey",
                 "value",
                 "ts",
                 "seq",
@@ -329,18 +398,12 @@ class Planner:
 
         if sel.duration_ms is None:
             # instant vector: latest sample per series in the lookback window
-            agg = served.groupBy("instant", "sig").agg(
+            facts = served.groupBy("instant", "skey").agg(
                 F.max_by("value", "_okey").alias("value"),
             )
-            cells = agg.join(sel_dim, "sig").select(
-                "instant", "sig", "labels", F.col("sig").alias("ord"), "value"
-            )
-            return VectorFrame(grid, cells)
+            return VectorFrame(grid, facts, sel_dim)
 
-        points = served.join(sel_dim, "sig").select(
-            "instant", "sig", "labels", F.col("sig").alias("ord"), "value", "ts", "seq"
-        )
-        return RangeFrame(grid, points)
+        return RangeFrame(grid, served, sel_dim)
 
     # -- unary -----------------------------------------------------------------
 
@@ -354,8 +417,8 @@ class Planner:
             if node.op == "+":
                 return inner
             # '-' keeps __name__ (reference: src/query/unary.rs:14-19)
-            cells = inner.cells.withColumn("value", -F.col("value"))
-            return VectorFrame(inner.grid, cells, inner.checks)
+            facts = inner.facts.withColumn("value", -F.col("value"))
+            return VectorFrame(inner.grid, facts, inner.dim, inner.checks)
         raise PqError("unary operator expects a scalar or an instant vector")
 
     # -- aggregation -------------------------------------------------------------
@@ -371,95 +434,140 @@ class Planner:
             # (aggregate.rs:184); enable via extensions=True
             raise PqError(f"aggregation operator {op} is not implemented")
 
-        glabels = group_labels_expr(F.col("labels"), node.modifier)
-        base = inner.cells.withColumn("_glabels", glabels).withColumn(
-            "_gsig", sig_expr(F.col("_glabels"))
+        # group-label algebra happens ONCE per series on the dim, never on
+        # fact rows: skey → (gkey, gsig, glabels). The invertible _gsig2
+        # keeps the group-dim dedup a plain string-distinct HashAggregate
+        # (no map type near any aggregation).
+        gmap = (
+            inner.dim.withColumn(
+                "_glabels", group_labels_expr(F.col("labels"), node.modifier)
+            )
+            .withColumn("_gsig2", _sig2_expr(F.col("_glabels")))
+            .withColumn("_gsig", F.replace(F.col("_gsig2"), F.lit(_PAIR_SEP), F.lit("")))
+            .withColumn("_gkey", F.xxhash64("_gsig"))
         )
+
+        # sig-order quirks (count/group seeding, topk tie-breaks) need the
+        # within-group series order; rank it ONCE on the dim (a dim-sized
+        # window partitioned by group) so fact-side aggregations order by a
+        # LONG — no strings in the fact shuffle, min_by stays HashAggregate
+        def _with_ordn(gm: DataFrame) -> DataFrame:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("_gkey").orderBy("sig")
+            return gm.withColumn("_ordn", F.row_number().over(w))
 
         if op in ("topk", "bottomk"):
             from pyspark.sql import Window
 
             k = max(int(node.argument), 0)
-            order = [F.col("value").desc(), F.col("ord")] if op == "topk" else [
+            f = inner.facts.join(
+                F.broadcast(_with_ordn(gmap).select("skey", "_gkey", "_ordn")), "skey"
+            )
+            # reference iterates BTreeMap (sig) order, aggregate.rs:100-165
+            order = [F.col("value").desc(), F.col("_ordn")] if op == "topk" else [
                 F.col("value").asc(),
-                F.col("ord"),
+                F.col("_ordn"),
             ]
-            w = Window.partitionBy("instant", "_gsig").orderBy(*order)
-            cells = (
-                base.withColumn("_rn", F.row_number().over(w))
+            w = Window.partitionBy("instant", "_gkey").orderBy(*order)
+            facts = (
+                f.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= F.lit(k))
-                .select(
-                    "instant",
-                    "sig",
-                    "labels",  # original labels kept (aggregate.rs:100-165)
-                    F.concat(F.col("_gsig"), F.lit("\x7f"), F.col("sig")).alias("ord"),
-                    "value",
-                )
+                .select("instant", "skey", "value")
             )
-            return VectorFrame(inner.grid, cells, inner.checks)
+            # original labels kept (aggregate.rs:100-165); output order is
+            # (group sig, series sig)
+            out_dim = gmap.select(
+                "skey",
+                "sig",
+                "labels",
+                F.concat(F.col("_gsig"), F.lit("\x7f"), F.col("sig")).alias("ord"),
+            )
+            return VectorFrame(inner.grid, facts, out_dim, inner.checks)
 
-        g = base.groupBy("instant", "_gsig")
-        if op == "sum":
-            agg = g.agg(F.sum("value").alias("value"), F.first("_glabels").alias("labels"))
-        elif op == "min":
-            agg = g.agg(F.min("value").alias("value"), F.first("_glabels").alias("labels"))
-        elif op == "max":
-            agg = g.agg(F.max("value").alias("value"), F.first("_glabels").alias("labels"))
-        elif op == "avg":
-            agg = g.agg(
-                (F.sum("value") / F.count("value")).alias("value"),
-                F.first("_glabels").alias("labels"),
-            )
-        elif op == "count":
-            # reference quirk (aggregate.rs:30-67): the accumulator is seeded
-            # with the FIRST sample's value (in signature order), then +1 per
-            # further sample ⇒ count == first_value + n − 1.
-            agg = g.agg(
-                (F.min_by("value", "ord") + F.count("value") - 1).alias("value"),
-                F.first("_glabels").alias("labels"),
-            )
-        elif op == "group":
-            # same seeding quirk: single-sample groups keep the value
-            agg = g.agg(
-                F.when(F.count("value") > 1, F.lit(1.0))
-                .otherwise(F.min_by("value", "ord"))
-                .alias("value"),
-                F.first("_glabels").alias("labels"),
-            )
-        elif op == "quantile":
-            q = float(node.argument)
-            agg = g.agg(
-                F.expr(f"percentile(value, {q})").alias("value"),
-                F.first("_glabels").alias("labels"),
-            )
-        elif op == "stddev":
-            agg = g.agg(F.stddev_pop("value").alias("value"), F.first("_glabels").alias("labels"))
-        elif op == "stdvar":
-            agg = g.agg(F.var_pop("value").alias("value"), F.first("_glabels").alias("labels"))
-        elif op == "count_values":
+        if op == "count_values":
+            # extension; output identity depends on the VALUE, not just the
+            # series — fall back to the wide path
             lbl = str(node.argument)
-            base2 = base.withColumn(
+            base = inner.cells.withColumn(
+                "_glabels", group_labels_expr(F.col("labels"), node.modifier)
+            )
+            base = base.withColumn(
                 "_glabels",
                 F.map_concat(
                     F.col("_glabels"),
                     F.create_map(F.lit(lbl), F.format_number(F.col("value"), "0.######")),
                 ),
             ).withColumn("_gsig", sig_expr(F.col("_glabels")))
-            agg = base2.groupBy("instant", "_gsig").agg(
+            agg = base.groupBy("instant", "_gsig").agg(
                 F.count("value").cast("double").alias("value"),
                 F.first("_glabels").alias("labels"),
             )
-        else:  # pragma: no cover
-            raise PqError(f"unknown aggregation {op}")
+            cells = agg.select(
+                "instant",
+                F.col("_gsig").alias("sig"),
+                "labels",
+                F.col("_gsig").alias("ord"),
+                "value",
+            )
+            return VectorFrame.wide(inner.grid, cells, inner.checks)
 
-        cells = agg.select(
-            "instant",
-            F.col("_gsig").alias("sig"),
-            "labels",
-            F.col("_gsig").alias("ord"),
-            "value",
+        if op in ("count", "group"):
+            # reference quirk (aggregate.rs:30-67): the accumulator is seeded
+            # with the FIRST sample's value (in signature order), then updated
+            # per further sample ⇒ count == first_value + n − 1
+            f = inner.facts.join(
+                F.broadcast(_with_ordn(gmap).select("skey", "_gkey", "_ordn")), "skey"
+            )
+            g = f.groupBy("instant", "_gkey")
+            if op == "count":
+                agg = g.agg(
+                    (F.min_by("value", "_ordn") + F.count("value") - 1).alias("value")
+                )
+            else:
+                # same seeding quirk: single-sample groups keep the value
+                agg = g.agg(
+                    F.when(F.count("value") > 1, F.lit(1.0))
+                    .otherwise(F.min_by("value", "_ordn"))
+                    .alias("value")
+                )
+        else:
+            f = inner.facts.join(F.broadcast(gmap.select("skey", "_gkey")), "skey")
+            g = f.groupBy("instant", "_gkey")
+            if op == "sum":
+                agg = g.agg(F.sum("value").alias("value"))
+            elif op == "min":
+                agg = g.agg(F.min("value").alias("value"))
+            elif op == "max":
+                agg = g.agg(F.max("value").alias("value"))
+            elif op == "avg":
+                agg = g.agg((F.sum("value") / F.count("value")).alias("value"))
+            elif op == "quantile":
+                q = float(node.argument)
+                agg = g.agg(F.expr(f"percentile(value, {q})").alias("value"))
+            elif op == "stddev":
+                agg = g.agg(F.stddev_pop("value").alias("value"))
+            elif op == "stdvar":
+                agg = g.agg(F.var_pop("value").alias("value"))
+            else:  # pragma: no cover
+                raise PqError(f"unknown aggregation {op}")
+
+        facts = agg.select("instant", F.col("_gkey").alias("skey"), "value")
+        gdim = (
+            gmap.select("_gsig2")
+            .distinct()
+            .select(
+                F.replace(F.col("_gsig2"), F.lit(_PAIR_SEP), F.lit("")).alias("sig"),
+                "_gsig2",
+            )
+            .select(
+                F.xxhash64("sig").alias("skey"),
+                "sig",
+                _labels_from_sig2(F.col("_gsig2")).alias("labels"),
+                F.col("sig").alias("ord"),
+            )
         )
-        return VectorFrame(inner.grid, cells, inner.checks)
+        return VectorFrame(inner.grid, facts, gdim, inner.checks)
 
     # -- over-time functions -------------------------------------------------------
 
@@ -489,9 +597,20 @@ class Planner:
         # (function.rs:27) for clamp*/vector/label_replace
         raise PqError(f"function {name} is not implemented")
 
+    @staticmethod
+    def _dropname_dim(dim: DataFrame) -> DataFrame:
+        """Dim rewrite: drop __name__, re-sign; output order stays the
+        ORIGINAL series sig (the reference emits in input-series order)."""
+        out_labels = _labels_without(F.col("labels"), [])
+        return dim.select(
+            "skey",
+            sig_expr(out_labels).alias("sig"),
+            out_labels.alias("labels"),
+            F.col("sig").alias("ord"),
+        )
+
     def _over_time(self, name: str, rf: RangeFrame) -> VectorFrame:
-        g = rf.points.groupBy("instant", "sig")
-        first_labels = F.min_by("labels", F.struct("ts", "seq"))
+        g = rf.facts.groupBy("instant", "skey")
         if name == "count_over_time":
             val = F.count("value").cast("double")
         elif name == "sum_over_time":
@@ -505,38 +624,41 @@ class Planner:
         elif name == "last_over_time":
             # reference quirk: iterates the DESC-ordered window and takes
             # .last() ⇒ the OLDEST point (function.rs:56 + vector.rs:235),
-            # diverging from Prometheus. Replicate with min_by.
-            val = F.min_by("value", F.struct("ts", "seq"))
+            # diverging from Prometheus. Replicate with min_by over the
+            # packed ordering key (HashAggregate-friendly).
+            val = F.min_by("value", "_okey")
         else:  # pragma: no cover
             raise PqError(f"unknown over-time function {name}")
 
-        agg = g.agg(val.alias("value"), first_labels.alias("labels"))
-        out_labels = _labels_without(F.col("labels"), [])  # drops __name__
-        cells = agg.select(
-            "instant",
-            sig_expr(out_labels).alias("sig"),
-            out_labels.alias("labels"),
-            F.col("sig").alias("ord"),  # original series order
-            "value",
-        )
-        return VectorFrame(rf.grid, cells, rf.checks)
+        facts = g.agg(val.alias("value"))
+        return VectorFrame(rf.grid, facts, self._dropname_dim(rf.dim), rf.checks)
 
     def _rate_family(self, name: str, rf: RangeFrame) -> VectorFrame:
         """Extension (NOT in the reference engine): PromQL-style rate family
-        computed as first/last deltas over the same window groups."""
-        g = rf.points.groupBy("instant", "sig")
-        first_v = F.min_by("value", F.struct("ts", "seq"))
-        last_v = F.max_by("value", F.struct("ts", "seq"))
-        first_t = F.min("ts")
-        last_t = F.max("ts")
-        n = F.count("value")
-        agg = g.agg(
-            first_v.alias("_fv"),
-            last_v.alias("_lv"),
-            first_t.alias("_ft"),
-            last_t.alias("_lt"),
-            n.alias("_n"),
-            F.min_by("labels", F.struct("ts", "seq")).alias("labels"),
+        computed as first/last deltas over the same window groups. All
+        first/last picks use the packed ``_okey`` long (HashAggregate)."""
+        out_dim = self._dropname_dim(rf.dim)
+        if name in ("irate", "idelta"):
+            # needs the last two points: sorted window arrays keyed by _okey
+            pts = rf.facts.groupBy("instant", "skey").agg(
+                F.sort_array(F.collect_list(F.struct("_okey", "ts", "value"))).alias("_pts"),
+            ).filter(F.size("_pts") >= 2)
+            lastp = F.element_at("_pts", -1)
+            prevp = F.element_at("_pts", -2)
+            d = lastp.getField("value") - prevp.getField("value")
+            if name == "idelta":
+                v = d
+            else:
+                v = d / ((lastp.getField("ts") - prevp.getField("ts")) / F.lit(1000.0))
+            facts = pts.select("instant", "skey", v.alias("value"))
+            return VectorFrame(rf.grid, facts, out_dim, rf.checks)
+
+        agg = rf.facts.groupBy("instant", "skey").agg(
+            F.min_by("value", "_okey").alias("_fv"),
+            F.max_by("value", "_okey").alias("_lv"),
+            F.min("ts").alias("_ft"),
+            F.max("ts").alias("_lt"),
+            F.count("value").alias("_n"),
         ).filter(F.col("_n") >= 2)
         span_s = (F.col("_lt") - F.col("_ft")) / F.lit(1000.0)
         delta = F.col("_lv") - F.col("_fv")
@@ -546,46 +668,18 @@ class Planner:
             # zero-span windows (all points at one ms) yield no sample
             agg = agg.filter(F.col("_lt") > F.col("_ft"))
             val = delta / span_s
-        elif name in ("irate", "idelta"):
-            # needs the last two points: recompute via sorted window arrays
-            pts = rf.points.groupBy("instant", "sig").agg(
-                F.sort_array(F.collect_list(F.struct("ts", "seq", "value"))).alias("_pts"),
-                F.min_by("labels", F.struct("ts", "seq")).alias("labels"),
-            ).filter(F.size("_pts") >= 2)
-            lastp = F.element_at("_pts", -1)
-            prevp = F.element_at("_pts", -2)
-            d = lastp.getField("value") - prevp.getField("value")
-            if name == "idelta":
-                v = d
-            else:
-                v = d / ((lastp.getField("ts") - prevp.getField("ts")) / F.lit(1000.0))
-            out_labels = _labels_without(F.col("labels"), [])
-            cells = pts.select(
-                "instant",
-                sig_expr(out_labels).alias("sig"),
-                out_labels.alias("labels"),
-                F.col("sig").alias("ord"),
-                v.alias("value"),
-            )
-            return VectorFrame(rf.grid, cells, rf.checks)
         else:  # pragma: no cover
             raise PqError(name)
-        out_labels = _labels_without(F.col("labels"), [])
-        cells = agg.select(
-            "instant",
-            sig_expr(out_labels).alias("sig"),
-            out_labels.alias("labels"),
-            F.col("sig").alias("ord"),
-            val.alias("value"),
-        )
-        return VectorFrame(rf.grid, cells, rf.checks)
+        facts = agg.select("instant", "skey", val.alias("value"))
+        return VectorFrame(rf.grid, facts, out_dim, rf.checks)
 
     def _label_replace(
         self, vf: VectorFrame, dst: str, replacement: str, src: str, regex: str
     ) -> VectorFrame:
         """Extension (Prometheus semantics): when ``regex`` fully matches
         the ``src`` label value, set ``dst`` to ``replacement`` with $N
-        capture references; otherwise the sample passes unchanged."""
+        capture references; otherwise the sample passes unchanged. Pure
+        dim-side rewrite — facts untouched."""
         anchored = f"^(?:{regex})$"
         src_val = F.coalesce(F.col("labels").getItem(src), F.lit(""))
         new_val = F.regexp_replace(src_val, anchored, replacement)
@@ -600,14 +694,13 @@ class Planner:
             matched & (new_val == ""),
             F.map_filter(F.col("labels"), lambda k, _: k != F.lit(dst)),
         ).otherwise(F.col("labels"))
-        cells = vf.cells.select(
-            "instant",
+        dim = vf.dim.select(
+            "skey",
             sig_expr(out_labels).alias("sig"),
             out_labels.alias("labels"),
             "ord",
-            "value",
         )
-        return VectorFrame(vf.grid, cells, vf.checks)
+        return VectorFrame(vf.grid, vf.facts, dim, vf.checks)
 
     def _clamp(self, name: str, vf: VectorFrame, args: list) -> VectorFrame:
         v = F.col("value")
@@ -618,15 +711,15 @@ class Planner:
             v = F.least(v, F.lit(float(args[0])))
         else:
             v = F.greatest(v, F.lit(float(args[0])))
+        facts = vf.facts.withColumn("value", v)
         out_labels = _labels_without(F.col("labels"), [])
-        cells = vf.cells.select(
-            "instant",
+        dim = vf.dim.select(
+            "skey",
             sig_expr(out_labels).alias("sig"),
             out_labels.alias("labels"),
             "ord",
-            v.alias("value"),
         )
-        return VectorFrame(vf.grid, cells, vf.checks)
+        return VectorFrame(vf.grid, facts, dim, vf.checks)
 
     # -- binary ----------------------------------------------------------------
 
@@ -671,30 +764,33 @@ class Planner:
         v = F.col("value")
         l, r = (s, v) if scalar_on_left else (v, s)
 
-        cells = vf.cells
+        facts = vf.facts
         if kind == "comparison":
             pred = _compare_pred(node.op, l, r)
             if node.bool_modifier:
-                cells = cells.withColumn(
+                facts = facts.withColumn(
                     "value", F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
                 )
             else:
                 # filter mode keeps the VECTOR side's sample value
                 # (binary.rs:156-158,216-218 comp_value = s)
-                cells = cells.filter(pred)
+                facts = facts.filter(pred)
         else:
-            cells = cells.withColumn("value", _binop_col(node.op, l, r))
+            facts = facts.withColumn("value", _binop_col(node.op, l, r))
 
-        if not keep_name:
-            out_labels = _labels_without(F.col("labels"), [])
-            cells = cells.select(
-                "instant",
-                sig_expr(out_labels).alias("sig"),
-                out_labels.alias("labels"),
-                "ord",
-                "value",
-            )
-        return VectorFrame(vf.grid, cells, vf.checks)
+        dim = vf.dim if keep_name else self._dropname_dim_keep_ord(vf.dim)
+        return VectorFrame(vf.grid, facts, dim, vf.checks)
+
+    @staticmethod
+    def _dropname_dim_keep_ord(dim: DataFrame) -> DataFrame:
+        """Drop __name__ and re-sign, keeping the dim's existing ord."""
+        out_labels = _labels_without(F.col("labels"), [])
+        return dim.select(
+            "skey",
+            sig_expr(out_labels).alias("sig"),
+            out_labels.alias("labels"),
+            "ord",
+        )
 
     def _grid_merge(self, lgrid: DataFrame, rgrid: DataFrame) -> DataFrame:
         """Aligned output grid of a vector⊗vector op: the two-pointer merge
@@ -715,6 +811,17 @@ class Planner:
             .select("instant")
         )
 
+    @staticmethod
+    def _match_map(dim: DataFrame, matching) -> DataFrame:
+        """Dim-side matching-label algebra: skey → (mkey, msig, mlabels),
+        computed once per series."""
+        ml = match_labels_expr(F.col("labels"), matching)
+        return (
+            dim.withColumn("_mlabels", ml)
+            .withColumn("_msig", sig_expr(F.col("_mlabels")))
+            .withColumn("_mkey", F.xxhash64("_msig"))
+        )
+
     def _vector_vector(
         self, node: BinaryOperation, lhs: VectorFrame, rhs: VectorFrame
     ) -> VectorFrame:
@@ -731,21 +838,18 @@ class Planner:
 
         grid = self._grid_merge(lhs.grid, rhs.grid)
 
-        lc = lhs.cells.select(
-            "instant",
-            sig_expr(match_labels_expr(F.col("labels"), matching)).alias("_msig"),
-            match_labels_expr(F.col("labels"), matching).alias("_mlabels"),
-            F.col("labels").getItem(NAME_LABEL).alias("_lname"),
-            F.col("ord").alias("_lord"),
-            F.col("value").alias("_lvalue"),
+        lmap = self._match_map(lhs.dim, matching)
+        rmap = self._match_map(rhs.dim, matching)
+        # the join exchange moves (instant, mkey, skey, value) — longs and
+        # doubles only; the 1:1 match key is the 64-bit mkey
+        lf = lhs.facts.join(F.broadcast(lmap.select("skey", "_mkey")), "skey").select(
+            "instant", "skey", "_mkey", F.col("value").alias("_lvalue")
         )
-        rc = rhs.cells.select(
-            "instant",
-            sig_expr(match_labels_expr(F.col("labels"), matching)).alias("_msig"),
-            F.col("value").alias("_rvalue"),
+        rf = rhs.facts.join(F.broadcast(rmap.select("skey", "_mkey")), "skey").select(
+            "instant", "_mkey", F.col("value").alias("_rvalue")
         )
 
-        joined = lc.join(rc, ["instant", "_msig"], "inner")
+        joined = lf.join(rf, ["instant", "_mkey"], "inner")
 
         l, r = F.col("_lvalue"), F.col("_rvalue")
         if kind == "comparison":
@@ -760,37 +864,40 @@ class Planner:
         else:
             joined = joined.withColumn("_value", _binop_col(node.op, l, r))
 
+        facts = joined.select("instant", "skey", F.col("_value").alias("value"))
+
+        # output labels: the matching labels (+ the lhs __name__ for
+        # filter-mode comparisons) — a dim-side rewrite of the lhs dim
+        lname = F.col("labels").getItem(NAME_LABEL)
         if keep_name:
             out_labels = F.when(
-                F.col("_lname").isNotNull(),
+                lname.isNotNull(),
                 F.map_concat(
-                    F.col("_mlabels"), F.create_map(F.lit(NAME_LABEL), F.col("_lname"))
+                    F.col("_mlabels"), F.create_map(F.lit(NAME_LABEL), lname)
                 ),
             ).otherwise(F.col("_mlabels"))
         else:
             out_labels = F.col("_mlabels")
-
-        cells = joined.select(
-            "instant",
+        out_dim = lmap.select(
+            "skey",
             sig_expr(out_labels).alias("sig"),
             out_labels.alias("labels"),
-            F.col("_lord").alias("ord"),
-            F.col("_value").alias("value"),
+            "ord",
         )
 
         checks = list(lhs.checks) + list(rhs.checks)
         if self.ctx.strict:
             # duplicate series on the build (rhs) side at aligned instants
             # (value.rs:86-92); many-to-one after matching (value.rs:114-116)
-            common = rc.join(lhs.grid, "instant", "left_semi")
+            common = rf.join(lhs.grid, "instant", "left_semi")
             dup_rhs = (
-                common.groupBy("instant", "_msig").count().filter(F.col("count") > 1)
+                common.groupBy("instant", "_mkey").count().filter(F.col("count") > 1)
             )
             checks.append(
                 Check(dup_rhs, "Found series collision for matching labels")
             )
             dup_match = (
-                joined.groupBy("instant", "_msig").count().filter(F.col("count") > 1)
+                joined.groupBy("instant", "_mkey").count().filter(F.col("count") > 1)
             )
             checks.append(
                 Check(
@@ -799,7 +906,7 @@ class Planner:
                     "group_left/group_right modifier",
                 )
             )
-        return VectorFrame(grid, cells, checks)
+        return VectorFrame(grid, facts, out_dim, checks)
 
     def _vector_vector_grouped(
         self, node: BinaryOperation, lhs: VectorFrame, rhs: VectorFrame
@@ -808,7 +915,13 @@ class Planner:
 
         The 'many' side keeps its full label set (minus __name__ for
         arithmetic); listed include-labels are copied over from the 'one'
-        side; the 'one' side must be unique per (instant, match-sig)."""
+        side; the 'one' side must be unique per (instant, match-key).
+
+        Output identity is the (many-series, one-series) PAIR — include-label
+        copying makes labels depend on both sides — so the output skey is
+        hash(many skey, one skey) and the pair dim is built from the two
+        series dims joined on the distinct observed pairs (dim-sized work;
+        the fact join itself stays all-longs)."""
         kind, include = node.group_modifier
         matching = node.label_matching
         opk = op_kind(node.op)
@@ -817,20 +930,17 @@ class Planner:
         many, one = (lhs, rhs) if kind == "left" else (rhs, lhs)
         grid = self._grid_merge(lhs.grid, rhs.grid)
 
-        mc = many.cells.select(
-            "instant",
-            sig_expr(match_labels_expr(F.col("labels"), matching)).alias("_msig"),
-            F.col("labels").alias("_mlabels"),
-            F.col("ord").alias("_mord"),
+        mmap = self._match_map(many.dim, matching)
+        omap = self._match_map(one.dim, matching)
+        mf = many.facts.join(F.broadcast(mmap.select("skey", "_mkey")), "skey").select(
+            "instant", F.col("skey").alias("_mskey"), "_mkey",
             F.col("value").alias("_mvalue"),
         )
-        oc = one.cells.select(
-            "instant",
-            sig_expr(match_labels_expr(F.col("labels"), matching)).alias("_msig"),
-            F.col("labels").alias("_olabels"),
+        of = one.facts.join(F.broadcast(omap.select("skey", "_mkey")), "skey").select(
+            "instant", F.col("skey").alias("_oskey"), "_mkey",
             F.col("value").alias("_ovalue"),
         )
-        joined = mc.join(oc, ["instant", "_msig"])
+        joined = mf.join(of, ["instant", "_mkey"])
 
         l, r = (
             (F.col("_mvalue"), F.col("_ovalue"))
@@ -848,13 +958,30 @@ class Planner:
         else:
             joined = joined.withColumn("_value", _binop_col(node.op, l, r))
 
+        pkey = F.xxhash64("_mskey", "_oskey")
+        facts = joined.select(
+            "instant", pkey.alias("skey"), F.col("_value").alias("value")
+        )
+
+        # pair dim: observed (many, one) series pairs → output labels
+        pairs = joined.select("_mskey", "_oskey").distinct()
+        mdim = many.dim.select(
+            F.col("skey").alias("_mskey"),
+            F.col("labels").alias("_mlabels_full"),
+            F.col("ord").alias("_mord"),
+        )
+        odim = one.dim.select(
+            F.col("skey").alias("_oskey"), F.col("labels").alias("_olabels")
+        )
+        pdim = pairs.join(F.broadcast(mdim), "_mskey").join(F.broadcast(odim), "_oskey")
+
         def _drop_key(m, key):
             def fn(k, _):
                 return k != F.lit(key)
 
             return F.map_filter(m, fn)
 
-        out_labels = F.col("_mlabels")
+        out_labels = F.col("_mlabels_full")
         if not keep_name:
             out_labels = _drop_key(out_labels, NAME_LABEL)
         for lbl in include:
@@ -864,50 +991,62 @@ class Planner:
                 F.map_concat(_drop_key(out_labels, lbl), F.create_map(F.lit(lbl), ov)),
             ).otherwise(_drop_key(out_labels, lbl))
 
-        cells = joined.select(
-            "instant",
+        out_dim = pdim.select(
+            F.xxhash64("_mskey", "_oskey").alias("skey"),
             sig_expr(out_labels).alias("sig"),
             out_labels.alias("labels"),
             F.col("_mord").alias("ord"),
-            F.col("_value").alias("value"),
         )
+
         checks = list(lhs.checks) + list(rhs.checks)
         if self.ctx.strict:
-            dup_one = oc.groupBy("instant", "_msig").count().filter(F.col("count") > 1)
+            dup_one = of.groupBy("instant", "_mkey").count().filter(F.col("count") > 1)
             checks.append(Check(dup_one, "multiple matches on the 'one' side"))
-        return VectorFrame(grid, cells, checks)
+        return VectorFrame(grid, facts, out_dim, checks)
 
     def _logical(self, node: BinaryOperation, lhs, rhs) -> VectorFrame:
         """Extension semantics (Prometheus-style and/unless/or) — the
-        reference parses these but its evaluator panics."""
+        reference parses these but its evaluator panics. and/unless are
+        narrow semi/anti joins on (instant, mkey); ``or`` re-keys the rhs
+        rows into a disjoint key space before the union so the two dims
+        can never collide."""
         if not isinstance(lhs, VectorFrame) or not isinstance(rhs, VectorFrame):
             raise PqError("logical operators expect instant vectors")
         matching = node.label_matching
         grid = self._grid_merge(lhs.grid, rhs.grid)
-        lm = lhs.cells.withColumn(
-            "_msig", sig_expr(match_labels_expr(F.col("labels"), matching))
+        lmap = self._match_map(lhs.dim, matching)
+        rmap = self._match_map(rhs.dim, matching)
+        lf = lhs.facts.join(F.broadcast(lmap.select("skey", "_mkey")), "skey")
+        rk = rhs.facts.join(F.broadcast(rmap.select("skey", "_mkey")), "skey").select(
+            "instant", "_mkey"
         )
-        rm = rhs.cells.withColumn(
-            "_msig", sig_expr(match_labels_expr(F.col("labels"), matching))
-        ).select("instant", "_msig")
         if node.op == "and":
-            cells = lm.join(rm, ["instant", "_msig"], "left_semi").drop("_msig")
-        elif node.op == "unless":
-            cells = lm.join(rm, ["instant", "_msig"], "left_anti").drop("_msig")
-        else:  # or
-            extra = (
-                rhs.cells.withColumn(
-                    "_msig", sig_expr(match_labels_expr(F.col("labels"), matching))
-                )
-                .join(
-                    lm.select("instant", "_msig"),
-                    ["instant", "_msig"],
-                    "left_anti",
-                )
-                .drop("_msig")
+            facts = lf.join(rk, ["instant", "_mkey"], "left_semi").select(
+                "instant", "skey", "value"
             )
-            cells = lhs.cells.unionByName(extra)
-        return VectorFrame(grid, cells, lhs.checks + rhs.checks)
+            return VectorFrame(grid, facts, lhs.dim, lhs.checks + rhs.checks)
+        if node.op == "unless":
+            facts = lf.join(rk, ["instant", "_mkey"], "left_anti").select(
+                "instant", "skey", "value"
+            )
+            return VectorFrame(grid, facts, lhs.dim, lhs.checks + rhs.checks)
+        # or: lhs rows + rhs rows whose match-key has no lhs series at that
+        # instant; rhs identities are re-keyed into a disjoint space
+        rf = rhs.facts.join(F.broadcast(rmap.select("skey", "_mkey")), "skey")
+        extra = (
+            rf.join(lf.select("instant", "_mkey"), ["instant", "_mkey"], "left_anti")
+            .select(
+                "instant",
+                F.xxhash64(F.col("skey"), F.lit("r")).alias("skey"),
+                "value",
+            )
+        )
+        facts = lhs.facts.select("instant", "skey", "value").unionByName(extra)
+        rdim = rhs.dim.select(
+            F.xxhash64(F.col("skey"), F.lit("r")).alias("skey"), "sig", "labels", "ord"
+        )
+        dim = lhs.dim.select("skey", "sig", "labels", "ord").unionByName(rdim)
+        return VectorFrame(grid, facts, dim, lhs.checks + rhs.checks)
 
 
 # ---------------------------------------------------------------------------

@@ -593,12 +593,52 @@ register("ann_cosine_topk", _ann_brute, _ANN_SQL)
 
 
 def _ann_lsh(spark, sf):
-    emb = _emb(spark, sf)
-    return textops.ann_topk_lsh(emb, _query_vec(spark, sf), k=10, num_planes=6)
+    # multiprobe radius is the recall/cost knob — measured on the synthetic
+    # embeddings (6 planes, recall@10 vs brute force / probed fraction):
+    # h=0: 0.2/0.02, h=1: 0.4/0.14, h=2: 0.6/0.36, h=3: 0.9/0.63
+    return textops.ann_topk_lsh(
+        _emb(spark, sf), _query_vec(spark, sf), k=10, num_planes=6,
+        multiprobe_hamming=2,
+    )
 
 
-# approximate — no exact SQL oracle; the driver records a rows-only check
-register("ann_lsh_topk", _ann_lsh, None)
+def _ann_lsh_sql() -> str:
+    """Exact oracle for the multiprobe ANN: cosine top-k restricted to the
+    probed buckets (query bucket ± hamming-2). The bucket assignment is the
+    same deterministic hyperplane expression as ``_lsh_bucket_sql``, and the
+    query bucket is computed in SQL from the vec_id=0 row — fully
+    deterministic, no approximation left unchecked."""
+    planes = []
+    for p in range(6):
+        comps = [
+            (int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(64)
+        ]
+        planes.append("[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]")
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip(embedding::DOUBLE[], {pl}), "
+        f"t -> t[1] * t[2])) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    return f"""WITH b AS (
+  SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+),
+q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+cand AS (SELECT b.* FROM b, q WHERE bit_count(xor(b.bucket, q.qb)) <= 2),
+d AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(list_zip(c.embedding::DOUBLE[], q.qe::DOUBLE[]),
+                                 t -> t[1] * t[2])) AS dot,
+         sqrt(list_sum(list_transform(c.embedding::DOUBLE[], x -> x * x))) AS ne,
+         sqrt(list_sum(list_transform(q.qe::DOUBLE[], x -> x * x))) AS nq
+  FROM cand c, q
+)
+SELECT vec_id, round(dot / (ne * nq), 6) AS cos_sim
+FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+
+register("ann_lsh_topk", _ann_lsh, _ann_lsh_sql())
 
 
 def _lsh_bucket_sizes(spark, sf):
@@ -719,34 +759,48 @@ _BAND_SELECTS = " UNION ALL ".join(
     for b in range(_BANDS)
 )
 
+# bucket-size cap: one degenerate band key (empty/boilerplate docs) would
+# otherwise go quadratic; the cap is mirrored in the oracle SQL so the
+# semantics are pinned, not just the happy path
+_MAX_BUCKET = 500
+
 register(
     "dedup_lsh_pairs",
     lambda spark, sf: textops.minhash_lsh_pairs(
-        _docs(spark, sf), num_hashes=_K_MINHASH, bands=_BANDS
+        _docs(spark, sf), num_hashes=_K_MINHASH, bands=_BANDS, max_bucket=_MAX_BUCKET
     ),
     f"""WITH {_SHINGLE_CTE},
 sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
-banded AS ({_BAND_SELECTS})
+banded0 AS ({_BAND_SELECTS}),
+keep AS (SELECT band_key FROM banded0 GROUP BY band_key HAVING count(*) <= {_MAX_BUCKET}),
+banded AS (SELECT banded0.* FROM banded0 JOIN keep USING (band_key))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b USING (band_key)
 WHERE a.doc_id < b.doc_id""",
 )
 
+# 7 pigeonhole chunks (ceil bits/(h+1) widths) make the hamming<=6 blocking
+# EXHAUSTIVE — with the cap mirrored, the oracle is exact under any data
+_SIMHASH_MAXH = 6
 _SIMHASH_CHUNKS = " UNION ALL ".join(
-    f"SELECT doc_id, simhash, concat('{c}_', CAST((simhash >> {c * 15}) & 32767 AS VARCHAR)) AS chunk FROM s"
-    for c in range(4)
+    f"SELECT doc_id, simhash, concat('{c}_', CAST((simhash >> {off}) & {(1 << width) - 1} AS VARCHAR)) AS chunk FROM s"
+    for c, (off, width) in enumerate(textops.simhash_chunk_bounds(_SIMHASH_MAXH))
 )
 
 register(
     "dedup_simhash_pairs",
-    lambda spark, sf: textops.simhash_pairs(_docs(spark, sf), max_hamming=6),
+    lambda spark, sf: textops.simhash_pairs(
+        _docs(spark, sf), max_hamming=_SIMHASH_MAXH, max_bucket=_MAX_BUCKET
+    ),
     f"""WITH w AS (
   SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS wd FROM documents
 ),
 h AS (SELECT doc_id, {_hash_sql('wd', 'sim')} AS h FROM w),
 bits AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),
 s AS (SELECT doc_id, {_SIMHASH_FP} AS simhash FROM bits),
-chunks AS ({_SIMHASH_CHUNKS}),
+chunks0 AS ({_SIMHASH_CHUNKS}),
+keep AS (SELECT chunk FROM chunks0 GROUP BY chunk HAVING count(*) <= {_MAX_BUCKET}),
+chunks AS (SELECT chunks0.* FROM chunks0 JOIN keep USING (chunk)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS ha, b.simhash AS hb
@@ -754,5 +808,37 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(ha, hb)) <= 6""",
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_MAXH}""",
+)
+
+# composed operator: LSH candidates → exact Jaccard verification WITHIN the
+# candidates ("run Jaccard only within LSH buckets" as code, not a comment)
+register(
+    "dedup_near_pairs",
+    lambda spark, sf: textops.near_dup_pairs(
+        _docs(spark, sf), threshold=0.3, num_hashes=_K_MINHASH, bands=_BANDS,
+        max_bucket=_MAX_BUCKET,
+    ),
+    f"""WITH {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+banded0 AS ({_BAND_SELECTS}),
+keep AS (SELECT band_key FROM banded0 GROUP BY band_key HAVING count(*) <= {_MAX_BUCKET}),
+banded AS (SELECT banded0.* FROM banded0 JOIN keep USING (band_key)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.3""",
 )

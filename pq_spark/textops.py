@@ -87,13 +87,35 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _cap_buckets(banded: DataFrame, key: str, max_bucket: int | None) -> DataFrame:
+    """Drop degenerate hot buckets before the self-join.
+
+    A single hot key (all-empty docs share one signature; boilerplate pages
+    share bands) makes that bucket O(n²) at scale. Keys with more than
+    ``max_bucket`` members are excluded from candidate GENERATION — such
+    buckets are exact/boilerplate duplicates better handled by
+    ``exact_dedup`` first. The frequency pass shuffles on the same key as
+    the pair join, so it adds one cheap aggregation, no new skew."""
+    if max_bucket is None:
+        return banded
+    keep = (
+        banded.groupBy(key)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= F.lit(max_bucket))
+        .select(key)
+    )
+    return banded.join(keep, key, "left_semi")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
-    text_col: str = "text", id_col: str = "doc_id",
+    text_col: str = "text", id_col: str = "doc_id", max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket-join on band keys.
     The scale path for near-dup detection — candidate generation is an
-    equi-join on (band, band_key), never a cross product."""
+    equi-join on (band, band_key), never a cross product. ``max_bucket``
+    caps bucket sizes (see ``_cap_buckets``) so one degenerate band key
+    cannot go quadratic."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, shingle_n, text_col, id_col)
     band_keys = F.array(
@@ -107,6 +129,7 @@ def minhash_lsh_pairs(
         ]
     )
     banded = sig.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    banded = _cap_buckets(banded, "band_key", max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -116,6 +139,40 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame, threshold: float = 0.5, num_hashes: int = 16, bands: int = 4,
+    shingle_n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The composed scale-path near-dup operator: MinHash-LSH candidate
+    generation followed by EXACT n-gram Jaccard verification restricted to
+    the candidates. Cost = candidates × shingles, never |docs|² — this is
+    the "run Jaccard only within LSH buckets" discipline as one operator."""
+    cand = minhash_lsh_pairs(
+        docs, num_hashes, bands, shingle_n, text_col, id_col, max_bucket
+    )
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc").alias("doc_a"), "sh")
+    shb = sh.select(F.col("doc").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -173,24 +230,43 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return per_doc.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def simhash_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) per pigeonhole chunk: ``max_hamming + 1`` chunks,
+    widths as even as possible, covering all SIMHASH_BITS. With c = h+1
+    chunks, any pair within hamming ≤ h shares at least one exact chunk —
+    the blocking is EXHAUSTIVE for that radius (standard pigeonhole)."""
+    n_chunks = max_hamming + 1
+    base, rem = divmod(SIMHASH_BITS, n_chunks)
+    bounds, off = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < rem else 0)
+        bounds.append((off, width))
+        off += width
+    return bounds
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Scale path: 4 × 15-bit chunk keys — by pigeonhole any pair within
-    hamming ≤ 3 shares at least one exact chunk, so candidates come from
-    four equi-joins, never a cross product."""
+    Scale path: ``max_hamming + 1`` chunk keys — by pigeonhole any pair
+    within the radius shares at least one exact chunk, so candidates come
+    from equi-joins, never a cross product, and recall is EXACT for the
+    requested radius. ``max_bucket`` caps degenerate hot chunks
+    (see ``_cap_buckets``)."""
     sh = simhash(docs, text_col, id_col)
     chunks = F.array(
         *[
             F.concat_ws(
                 "_", F.lit(c),
-                F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit((1 << 15) - 1)).cast("string"),
+                F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << width) - 1)).cast("string"),
             )
-            for c in range(4)
+            for c, (off, width) in enumerate(simhash_chunk_bounds(max_hamming))
         ]
     )
     banded = sh.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("chunk"))
+    banded = _cap_buckets(banded, "chunk", max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, "chunk")
@@ -274,18 +350,16 @@ def lsh_buckets(
     return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
-def ann_topk_lsh(
-    embeddings: DataFrame, query_vec: list[float], k: int = 10, num_planes: int = 8,
-    vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64,
-) -> DataFrame:
-    """Approximate top-k: brute-force within the query's LSH bucket only."""
+def query_bucket(query_vec: list[float], num_planes: int = 8, dim: int = 64) -> int:
+    """The LSH bucket of a query vector (driver-side, same deterministic
+    hyperplanes as ``lsh_buckets``)."""
+    import hashlib
+
     import numpy as np
 
-    bucketed = lsh_buckets(embeddings, num_planes, vec_col, id_col, dim)
+    q = np.array(query_vec, dtype=np.float64)
     qb = 0
     for p in range(num_planes):
-        import hashlib
-
         comps = np.array(
             [
                 (int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
@@ -293,9 +367,26 @@ def ann_topk_lsh(
                 for d in range(dim)
             ]
         )
-        if float(np.dot(np.array(query_vec, dtype=np.float64), comps)) >= 0:
+        if float(np.dot(q, comps)) >= 0:
             qb |= 1 << p
-    cand = bucketed.filter(F.col("bucket") == qb)
+    return qb
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10, num_planes: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k with MULTIPROBE: brute-force within the query's
+    LSH bucket plus all buckets within ``multiprobe_hamming`` bit flips
+    (hamming-1 probing covers the planes the query sits closest to, the
+    standard recall fix for a single-probe miss). Probed fraction ≈
+    (1 + num_planes) / 2^num_planes for hamming 1."""
+    bucketed = lsh_buckets(embeddings, num_planes, vec_col, id_col, dim)
+    qb = query_bucket(query_vec, num_planes, dim)
+    cand = bucketed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb))) <= F.lit(multiprobe_hamming)
+    )
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 

@@ -1,0 +1,90 @@
+"""Scale-behavior tests for the dedup/ANN operators: multiprobe recall,
+bucket-size caps under degenerate (boilerplate) corpora, and pigeonhole
+blocking exhaustiveness."""
+
+from pyspark.sql import functions as F
+
+from pq_spark import driver_queries as dq, textops
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ann_multiprobe_recall(spark):
+    """recall@10 vs brute force: multiprobe (hamming<=2) must clear 0.5 and
+    strictly beat single-bucket probing (measured 0.6 vs 0.2)."""
+    emb = dq._emb(spark, SF)
+    q = dq._query_vec(spark, SF)
+    exact = {r["vec_id"] for r in textops.cosine_topk(emb, q, k=10).collect()}
+    multi = {
+        r["vec_id"]
+        for r in textops.ann_topk_lsh(
+            emb, q, k=10, num_planes=6, multiprobe_hamming=2
+        ).collect()
+    }
+    single = {
+        r["vec_id"]
+        for r in textops.ann_topk_lsh(
+            emb, q, k=10, num_planes=6, multiprobe_hamming=0
+        ).collect()
+    }
+    recall_multi = len(exact & multi) / 10
+    recall_single = len(exact & single) / 10
+    assert recall_multi >= 0.5, recall_multi
+    assert recall_multi > recall_single
+
+
+def _degenerate_docs(spark, n_same=4000, n_distinct=50):
+    same = spark.range(n_same).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated on every page").alias("text"),
+    )
+    distinct = spark.range(n_distinct).select(
+        (F.col("id") + n_same).alias("doc_id"),
+        F.concat(
+            F.lit("unique document number "),
+            F.col("id").cast("string"),
+            F.lit(" with shared trailing words alpha beta gamma delta epsilon"),
+        ).alias("text"),
+    )
+    return same.unionByName(distinct)
+
+
+def test_lsh_bucket_cap_drops_degenerate(spark):
+    """4000 identical docs share every band key; with a cap the hot bucket
+    is excluded from candidate generation (no quadratic stage) while pairs
+    among normal docs survive."""
+    docs = _degenerate_docs(spark)
+    pairs = textops.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, max_bucket=100
+    ).collect()
+    ids = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+    assert all(i >= 4000 for i in ids), "degenerate bucket leaked into pairs"
+    assert len(pairs) > 0, "normal near-dup candidates must survive the cap"
+
+
+def test_simhash_bucket_cap_drops_degenerate(spark):
+    docs = _degenerate_docs(spark)
+    pairs = textops.simhash_pairs(
+        docs, max_hamming=6, max_bucket=100
+    ).collect()
+    ids = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+    assert all(i >= 4000 for i in ids), "degenerate bucket leaked into pairs"
+
+
+def test_simhash_blocking_exhaustive(spark):
+    """Pigeonhole guarantee: with max_hamming+1 chunks the candidate join
+    finds EVERY pair within the radius — compare against the brute-force
+    pairs computed from the collected fingerprints."""
+    docs = dq._docs(spark, "/root/testdata/sf0.001").limit(200)
+    fps = {r["doc_id"]: r["simhash"] for r in textops.simhash(docs).collect()}
+    want = set()
+    items = sorted(fps.items())
+    for i, (ida, ha) in enumerate(items):
+        for idb, hb in items[i + 1:]:
+            if bin(ha ^ hb).count("1") <= 6:
+                want.add((min(ida, idb), max(ida, idb)))
+    got = {
+        (p["doc_a"], p["doc_b"])
+        for p in textops.simhash_pairs(docs, max_hamming=6).collect()
+    }
+    assert got == want

@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
-SCHEMA_VERSION = 1
+SCHEMA_VERSION = 2  # v2: overflow-proof xor digest (v1 summed 64-bit hashes)
 
 
 @dataclass
@@ -81,14 +81,32 @@ class TierStore:
     @staticmethod
     def fingerprints(df: DataFrame, part_col: str = "date") -> dict[str, dict]:
         """Order/partitioning-independent digest per partition value:
-        one distributed aggregate, no collect of data rows."""
+        one distributed aggregate, no collect of data rows.
+
+        The digest is (rows, bit_xor(h1), bit_xor(h2)) with two
+        independently-seeded xxhash64 row hashes — xor never overflows
+        (summing uniform 64-bit hashes overflows long almost surely, which
+        ANSI mode turns into ARITHMETIC_OVERFLOW). Caveat shared by any xor
+        digest: a row repeated an even number of times cancels out — tier
+        tables are unique-keyed per partition, and the row count catches
+        pure duplications."""
         id_cols = [c for c in df.columns if c != part_col and c != "labels"]
-        digest = df.groupBy(part_col).agg(
-            F.count("*").alias("rows"),
-            F.sum(F.xxhash64(*id_cols)).alias("hashsum"),
+        h1 = F.xxhash64(*id_cols)
+        h2 = F.xxhash64(F.lit("fp2"), *id_cols)
+        digest = (
+            df.select(part_col, h1.alias("_h1"), h2.alias("_h2"))
+            .groupBy(part_col)
+            .agg(
+                F.count("*").alias("rows"),
+                F.expr("bit_xor(_h1)").alias("x1"),
+                F.expr("bit_xor(_h2)").alias("x2"),
+            )
         )
         return {
-            r[part_col]: {"rows": r["rows"], "hashsum": str(r["hashsum"])}
+            r[part_col]: {
+                "rows": r["rows"],
+                "hashsum": f"{r['x1']}:{r['x2']}",
+            }
             for r in digest.collect()
         }
 
@@ -103,6 +121,11 @@ class TierStore:
     ) -> CommitResult:
         """Write only partitions whose input fingerprint changed."""
         t0 = time.time()
+        # the engine's session confs (ANSI off, UTC, AQE) must hold for the
+        # fingerprint/write jobs even on a default (ANSI-on) session
+        from ..engine.runner import configure_session
+
+        configure_session(df.sparkSession)
         # the input plan is evaluated twice (fingerprint pass + write pass) —
         # persist so expensive upstreams (salted aggs, Gorilla packing) run once
         df = df.persist()

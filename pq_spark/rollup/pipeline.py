@@ -50,6 +50,9 @@ def run_pipeline(
     fits the cache; at 100 TB leave False and let the columnar source be
     scanned per pass (column pruning reads only what each pass needs).
     """
+    from ..engine.runner import configure_session
+
+    configure_session(spark)  # ANSI off / UTC / AQE even on a default session
     store = TierStore(out_path)
     metrics: dict = {"stages": {}}
     t_start = time.time()

@@ -131,11 +131,27 @@ def tier_partials(
         )
 
     if salt_buckets > 1:
-        # two-phase: spread hot (bucket, series) keys over salt_buckets reducers
-        phase1 = aggs(
+        # two-phase: spread hot (bucket, series) keys over salt_buckets
+        # reducers. Phase-1 partials carry min/max _okey so the merge
+        # tie-breaks first/last EXACTLY like the unsalted path (same-ms
+        # samples landing in different salt buckets would otherwise pick
+        # first_val/last_val nondeterministically).
+        phase1 = (
             base.withColumn("_salt", F.pmod(F.col("seq"), F.lit(salt_buckets)))
             .groupBy("bucket_ts", "skey", "_salt")
-        ).drop("_salt")
+            .agg(
+                F.count("value").alias("cnt"),
+                F.sum("value").alias("sum"),
+                F.min("value").alias("min"),
+                F.max("value").alias("max"),
+                F.min("ts").alias("first_ts"),
+                F.min_by("value", "_okey").alias("first_val"),
+                F.max("ts").alias("last_ts"),
+                F.max_by("value", "_okey").alias("last_val"),
+                F.min("_okey").alias("_first_okey"),
+                F.max("_okey").alias("_last_okey"),
+            )
+        )
         merged = (
             phase1.groupBy("bucket_ts", "skey")
             .agg(
@@ -144,9 +160,9 @@ def tier_partials(
                 F.min("min").alias("min"),
                 F.max("max").alias("max"),
                 F.min("first_ts").alias("first_ts"),
-                F.min_by("first_val", "first_ts").alias("first_val"),
+                F.min_by("first_val", "_first_okey").alias("first_val"),
                 F.max("last_ts").alias("last_ts"),
-                F.max_by("last_val", "last_ts").alias("last_val"),
+                F.max_by("last_val", "_last_okey").alias("last_val"),
             )
         )
     else:

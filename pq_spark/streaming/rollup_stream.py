@@ -63,7 +63,10 @@ def streaming_tier(
     )
 
 
-_LAST_VALUE_STATE_SCHEMA = "last_ts long, last_val double, emitted_until long"
+_LAST_VALUE_STATE_SCHEMA = (
+    "pend_bucket array<long>, pend_ts array<long>, pend_val array<double>, "
+    "emitted_until long"
+)
 _LAST_VALUE_OUT_SCHEMA = "sig string, bucket_ts long, value double, filled boolean"
 
 
@@ -74,40 +77,78 @@ def _last_value_fn(interval_ms: int, lookback_ms: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (sig,) = key
-        if state.exists:
-            last_ts, last_val, emitted_until = state.get
-        else:
-            last_ts, last_val, emitted_until = None, None, None
+        wm = state.getCurrentWatermarkMs()
 
-        max_ts = last_ts
+        # state: per-bucket latest sample for every bucket not yet emitted
+        # (still open w.r.t. the watermark), as parallel arrays sorted by
+        # bucket. Size is bounded by (watermark delay / interval) + 1 carry
+        # entry — NOT by the stream length.
+        pending: dict[int, tuple[int, float]] = {}
+        emitted_until = None
+        if state.exists:
+            pb, pt, pv, emitted_until = state.get
+            pending = {int(b): (int(t), float(v)) for b, t, v in zip(pb, pt, pv)}
+
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(["ts", "seq"])
-            t = int(pdf["ts"].iloc[-1])
-            if max_ts is None or t >= max_ts:
-                max_ts = t
-                last_val = float(pdf["value"].iloc[-1])
-        if max_ts is None:
+            for t, v in zip(pdf["ts"], pdf["value"]):
+                t = int(t)
+                b = (t // interval_ms) * interval_ms
+                cur = pending.get(b)
+                if cur is None or t >= cur[0]:
+                    pending[b] = (t, float(v))
+        if not pending:
+            state.remove()
             return
 
-        # emit one row per closed bucket covered by freshness:
-        # buckets b with b_end in (emitted_until, max_ts + lookback]
-        first_bucket = (
-            (max_ts // interval_ms) * interval_ms
-            if emitted_until is None
-            else emitted_until
-        )
+        # emit ONLY buckets already closed by the event-time watermark — a
+        # bucket's value may still change until wm passes its end, so eager
+        # emission would silently ignore later in-bucket samples (and make
+        # output depend on micro-batch boundaries).
+        buckets = sorted(pending)
+        b = emitted_until if emitted_until is not None else buckets[0]
+        last_src_bucket = buckets[-1]
         out_rows = []
-        b = first_bucket
-        while b <= max_ts + lookback_ms - interval_ms:
-            src_fresh = b < max_ts + lookback_ms
-            if src_fresh and b >= (max_ts // interval_ms) * interval_ms:
-                out_rows.append((sig, b, last_val, b != (max_ts // interval_ms) * interval_ms))
+        while b + interval_ms - 1 <= wm:
+            src_bucket = max((x for x in buckets if x <= b), default=None)
+            if src_bucket is None:
+                b += interval_ms
+                continue
+            # fresh while b is within lookback of the source bucket (pq
+            # instant-selector staleness, vector.rs:205-223)
+            if b <= src_bucket + lookback_ms - interval_ms:
+                out_rows.append((sig, b, pending[src_bucket][1], b != src_bucket))
             b += interval_ms
+            if b > last_src_bucket + lookback_ms - interval_ms:
+                break  # nothing beyond the staleness horizon can emit
 
-        state.update((max_ts, last_val, b))
-        state.setTimeoutDuration(lookback_ms)
+        if b > last_src_bucket + lookback_ms - interval_ms and (
+            last_src_bucket + interval_ms - 1 <= wm
+        ):
+            # every bucket the latest sample can serve is emitted (or
+            # stale) — DROP the state (pq purge_before); a later sample
+            # recreates the series fresh from its own bucket
+            state.remove()
+        else:
+            # keep open buckets plus the single latest emitted bucket (the
+            # carry source for upcoming gap buckets)
+            keep = [x for x in buckets if x >= b]
+            carry = [x for x in buckets if x < b]
+            if carry:
+                keep = [carry[-1]] + keep
+            keep.sort()
+            state.update(
+                (
+                    keep,
+                    [pending[x][0] for x in keep],
+                    [pending[x][1] for x in keep],
+                    b,
+                )
+            )
+            # wake up when the watermark closes the next unemitted bucket
+            state.setTimeoutTimestamp(max(b + interval_ms - 1, wm + 1))
         if out_rows:
             yield pd.DataFrame(out_rows, columns=["sig", "bucket_ts", "value", "filled"])
 
@@ -115,16 +156,24 @@ def _last_value_fn(interval_ms: int, lookback_ms: int):
 
 
 def streaming_last_value(
-    sample_stream: DataFrame, interval_ms: int = 60_000, lookback_ms: int = 300_000
+    sample_stream: DataFrame, interval_ms: int = 60_000, lookback_ms: int = 300_000,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Custom stateful gap-fill: per series, carry the last value across
     empty buckets while within the lookback (pq instant-selector semantics,
-    reference: src/query/vector.rs:205-223), evicting stale series via
-    state timeout (the analogue of pq's purge_before)."""
-    return sample_stream.groupBy("sig").applyInPandasWithState(
+    reference: src/query/vector.rs:205-223). Emission is EVENT-TIME
+    driven: a bucket is emitted only once the watermark passes its end (so
+    late in-bucket samples are never silently ignored), gap-fill rows for
+    quiet series are produced by event-time timeouts as the watermark
+    advances, and fully-stale series are REMOVED from the state store (the
+    analogue of pq's purge_before)."""
+    with_event_time = sample_stream.withColumn(
+        "event_time", F.timestamp_millis(F.col("ts"))
+    ).withWatermark("event_time", watermark)
+    return with_event_time.groupBy("sig").applyInPandasWithState(
         _last_value_fn(interval_ms, lookback_ms),
         outputStructType=_LAST_VALUE_OUT_SCHEMA,
         stateStructType=_LAST_VALUE_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -175,3 +175,21 @@ def test_full_pipeline(spark, tmp_path, pages):
     m2 = run_pipeline(spark, pages, str(tmp_path / "tiers"), salt_buckets=4)
     assert m2["stages"]["tier_1m"]["partitions_written"] == 0
     assert m2["stages"]["tier_1d"]["partitions_written"] == 0
+
+
+def test_lineage_fingerprint_on_ansi_session(spark, tmp_path, samples):
+    """ADVICE regression: the digest must survive a DEFAULT (ANSI-on)
+    session — summing uniform 64-bit hashes overflowed long and threw
+    ARITHMETIC_OVERFLOW; the xor digest cannot overflow."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        store = TierStore(str(tmp_path))
+        tier = with_date(rollup_tier(samples, "1m"))
+        # enough rows that a sum-of-hashes digest overflows almost surely
+        fps = TierStore.fingerprints(tier)
+        assert fps and all(":" in fp["hashsum"] for fp in fps.values())
+        r = store.commit(tier, "tier_1m_ansi")
+        assert r.written
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

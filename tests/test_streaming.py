@@ -72,16 +72,68 @@ def test_streaming_tier(spark, sample_dir):
     assert rows[("b", 180_000)]["last_val"] == 9.0
 
 
-def test_streaming_last_value_gapfill(spark, sample_dir):
-    stream = spark.readStream.schema(SAMPLE_SCHEMA).json(sample_dir)
+def test_streaming_last_value_gapfill(spark, tmp_path):
+    # sentinel series z drives the event-time watermark past every bucket
+    # of a/b, closing them — emission is watermark-gated, never eager
+    rows = [
+        {"seq": 1, "ts": 0, "sig": "a", "name": "m", "value": 1.0},
+        {"seq": 2, "ts": 30_000, "sig": "a", "name": "m", "value": 2.0},
+        {"seq": 3, "ts": 65_000, "sig": "a", "name": "m", "value": 3.0},
+        {"seq": 4, "ts": 10_000, "sig": "b", "name": "m", "value": 7.0},
+        {"seq": 5, "ts": 200_000, "sig": "b", "name": "m", "value": 9.0},
+        {"seq": 6, "ts": 600_000, "sig": "z", "name": "m", "value": 0.0},
+    ]
+    _write_jsonl(tmp_path / "part-0.jsonl", rows)
+    stream = spark.readStream.schema(SAMPLE_SCHEMA).json(str(tmp_path))
     filled = streaming_last_value(stream, interval_ms=60_000, lookback_ms=120_000)
     out = _run_stream(spark, filled, f"lv_{int(time.time()*1000)}")
-    rows = {(r["sig"], r["bucket_ts"]): (r["value"], r["filled"]) for r in out.collect()}
-    # series a: last sample at 65s value 3 → bucket 60k fresh (not filled),
-    # bucket 120k carried within 2-bucket lookback
-    assert rows[("a", 60_000)] == (3.0, False)
-    assert rows[("a", 120_000)] == (3.0, True)
-    assert ("a", 180_000) not in rows
-    # series b: last at 200s value 9 → bucket 180k fresh, 240k carried
-    assert rows[("b", 180_000)] == (9.0, False)
-    assert rows[("b", 240_000)] == (9.0, True)
+    got = {(r["sig"], r["bucket_ts"]): (r["value"], r["filled"]) for r in out.collect()}
+    # series a: bucket 0 takes its own latest in-bucket sample (30s → 2.0),
+    # bucket 60k fresh (65s → 3.0), 120k carried, 180k stale
+    assert got[("a", 0)] == (2.0, False)
+    assert got[("a", 60_000)] == (3.0, False)
+    assert got[("a", 120_000)] == (3.0, True)
+    assert ("a", 180_000) not in got
+    # series b: bucket 0 fresh (7.0), 60k carried, 120k stale gap,
+    # 180k fresh (9.0), 240k carried, 300k stale
+    assert got[("b", 0)] == (7.0, False)
+    assert got[("b", 60_000)] == (7.0, True)
+    assert ("b", 120_000) not in got
+    assert got[("b", 180_000)] == (9.0, False)
+    assert got[("b", 240_000)] == (9.0, True)
+    assert ("b", 300_000) not in got
+    # z's own bucket never closes (watermark == its ts) → not emitted
+    assert not any(s == "z" for s, _ in got)
+
+
+def test_streaming_last_value_late_in_bucket_sample(spark, tmp_path):
+    """The bug this design fixes: a later sample arriving inside a
+    NOT-yet-closed bucket must win — eager emission would have locked in
+    the earlier value and silently ignored it."""
+    _write_jsonl(tmp_path / "part-0.jsonl", [
+        {"seq": 1, "ts": 65_000, "sig": "a", "name": "m", "value": 3.0},
+        {"seq": 2, "ts": 100_000, "sig": "z", "name": "m", "value": 0.0},
+    ])
+    _write_jsonl(tmp_path / "part-1.jsonl", [
+        # bucket 60k is still open (wm=100k < 119999): this later sample
+        # must become the bucket's value
+        {"seq": 3, "ts": 110_000, "sig": "a", "name": "m", "value": 5.0},
+        {"seq": 4, "ts": 600_000, "sig": "z", "name": "m", "value": 0.0},
+    ])
+    # the file source orders batches by modification time — make it explicit
+    import os
+
+    now = time.time()
+    os.utime(tmp_path / "part-0.jsonl", (now - 60, now - 60))
+    os.utime(tmp_path / "part-1.jsonl", (now, now))
+    stream = (
+        spark.readStream.schema(SAMPLE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path))
+    )
+    filled = streaming_last_value(stream, interval_ms=60_000, lookback_ms=120_000)
+    out = _run_stream(spark, filled, f"lv_late_{int(time.time()*1000)}")
+    got = {(r["sig"], r["bucket_ts"]): (r["value"], r["filled"]) for r in out.collect()}
+    assert got[("a", 60_000)] == (5.0, False)
+    assert got[("a", 120_000)] == (5.0, True)
+    assert ("a", 180_000) not in got

@@ -121,34 +121,36 @@ def promapi_lines(result, strict_checks: bool = True) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
-def entries_json_lines(entries: DataFrame) -> list[str]:
+def entries_json_lines(entries: DataFrame, verbose: bool = False) -> list[str]:
     """JSON formatter for decoder-only programs (reference:
-    src/format/json.rs:49-66): tuple entries render as a JSON array; dict
+    src/format/json.rs:48-67): tuple entries render as a JSON array; dict
     entries as an object (we emit sorted keys — the reference serializes a
     HashMap whose order is arbitrary, so sorted is the deterministic
-    choice)."""
+    choice). Verbose wraps them as ``{"line": N, "data": ...}``
+    (TupleEntryRepr/DictEntryRepr, json.rs:13-23)."""
     rows = entries.orderBy("line_no").collect()
     out = []
     for r in rows:
         if r["arr"] is not None:
-            out.append(json.dumps(list(r["arr"]), separators=(",", ":"), ensure_ascii=False))
+            data = list(r["arr"])
         else:
-            out.append(
-                json.dumps(dict(sorted(r["map"].items())), separators=(",", ":"),
-                           ensure_ascii=False)
-            )
+            data = dict(sorted(r["map"].items()))
+        obj = {"line": r["line_no"], "data": data} if verbose else data
+        out.append(json.dumps(obj, separators=(",", ":"), ensure_ascii=False))
     return out
 
 
-def records_json_lines(records: DataFrame) -> list[str]:
+def records_json_lines(records: DataFrame, verbose: bool = False) -> list[str]:
     """JSON formatter for mapper-only programs (reference:
     src/format/json.rs:25-33,69-83): ``{"timestamp": ms?, "labels": {...},
     "values": {...}}`` with sorted inner keys; timestamp omitted if the
-    record has none."""
+    record has none; verbose prepends the ``line`` field (RecordRepr)."""
     rows = records.orderBy("seq").collect()
     out = []
     for r in rows:
         obj: dict = {}
+        if verbose:
+            obj["line"] = r["seq"]
         if r["ts"] is not None:
             obj["timestamp"] = r["ts"]
         obj["labels"] = dict(sorted((r["labels"] or {}).items()))
@@ -176,18 +178,20 @@ def _dict_human(d: dict, sep: str) -> str:
     return sep.join(f"{k}={v}" for k, v in sorted(d.items()))
 
 
-def entries_human_lines(entries: DataFrame) -> list[str]:
+def entries_human_lines(entries: DataFrame, verbose: bool = False) -> list[str]:
     rows = entries.orderBy("line_no").collect()
     out = []
     for r in rows:
-        if r["arr"] is not None:
-            out.append("\t".join(r["arr"]))
-        else:
-            out.append(_dict_human(dict(r["map"]), "\t"))
+        body = (
+            "\t".join(r["arr"]) if r["arr"] is not None
+            else _dict_human(dict(r["map"]), "\t")
+        )
+        # verbose prefixes the 1-based line number (humanreadable.rs:24-38)
+        out.append(f"{r['line_no']}: {body}" if verbose else body)
     return out
 
 
-def records_human_lines(records: DataFrame) -> list[str]:
+def records_human_lines(records: DataFrame, verbose: bool = False) -> list[str]:
     rows = records.orderBy("seq").collect()
     out = []
     for r in rows:
@@ -200,13 +204,15 @@ def records_human_lines(records: DataFrame) -> list[str]:
             parts.append(
                 _dict_human({k: rust_f64_str(v) for k, v in r["values"].items()}, "\t")
             )
-        out.append("\t".join(parts))
+        body = "\t".join(parts)
+        out.append(f"{r['seq']}: {body}" if verbose else body)
     return out
 
 
-def promhuman_lines(result, strict_checks: bool = True) -> list[str]:
+def promhuman_lines(result, strict_checks: bool = True, verbose: bool = False) -> list[str]:
     """Human formatter for query values (humanreadable.rs:70-177).
-    Non-verbose: empty vectors produce NO output line."""
+    Non-verbose: empty vectors produce NO output line; verbose prints
+    ``<ts> <no data>`` for them (humanreadable.rs:88-97,153-160)."""
     if isinstance(result, ScalarResult):
         return [rust_f64_str(result.value)]
     if strict_checks:
@@ -214,8 +220,19 @@ def promhuman_lines(result, strict_checks: bool = True) -> list[str]:
 
     NAME = "__name__"
     lines: list[str] = []
+
+    def no_data_lines(populated_instants) -> list[tuple[int, str]]:
+        if not verbose:
+            return []
+        return [
+            (r["instant"], _ts_human(r["instant"]) + " <no data>")
+            for r in result.grid.orderBy("instant").collect()
+            if r["instant"] not in populated_instants
+        ]
+
     if isinstance(result, VectorFrame):
         rows = result.cells.orderBy("instant", "ord").collect()
+        keyed: list[tuple[int, str]] = []
         for r in rows:
             labels = dict(r["labels"])
             name = labels.pop(NAME, None)
@@ -225,8 +242,11 @@ def promhuman_lines(result, strict_checks: bool = True) -> list[str]:
             if labels or name is not None:
                 parts.append("{%s}\t\t\t" % _dict_human(labels, ", "))
             parts.append(rust_f64_str(r["value"]))
-            lines.append("".join(parts))
-        return lines
+            keyed.append((r["instant"], "".join(parts)))
+        keyed += no_data_lines({i for i, _ in keyed})
+        return [s for _, s in sorted(keyed, key=lambda t: t[0])] if verbose else [
+            s for _, s in keyed
+        ]
 
     if isinstance(result, RangeFrame):
         per_series = (
@@ -238,6 +258,7 @@ def promhuman_lines(result, strict_checks: bool = True) -> list[str]:
             .orderBy("instant", "ord")
             .collect()
         )
+        keyed = []
         for r in per_series:
             labels = dict(r["labels"])
             name = labels.pop(NAME, None)
@@ -246,9 +267,54 @@ def promhuman_lines(result, strict_checks: bool = True) -> list[str]:
                 parts.append(name)
             if labels or name is not None:
                 parts.append("{%s}\t\t\t" % _dict_human(labels, ", "))
-            lines.append("".join(parts))
+            chunk = ["".join(parts)]
             for p in r["_pts"]:
-                lines.append("\t%s @ %s" % (rust_f64_str(p["value"]), _ts_human(p["ts"])))
-        return lines
+                chunk.append("\t%s @ %s" % (rust_f64_str(p["value"]), _ts_human(p["ts"])))
+            keyed.append((r["instant"], chunk))
+        keyed += [(i, [s]) for i, s in no_data_lines({i for i, _ in keyed})]
+        ordered = sorted(keyed, key=lambda t: t[0]) if verbose else keyed
+        return [line for _, chunk in ordered for line in chunk]
 
     raise TypeError(f"cannot format {type(result)}")
+
+
+def prominteractive_lines(result, strict_checks: bool = True) -> list[str]:
+    """Interactive human formatter (``-i``): per instant, a screen-refresh
+    block — ESC[2J ESC[1;1H, the timestamp, a dash, then one label-dump
+    line per sample (humanreadable.rs:103-130). Instant vectors only; the
+    reference panics with unimplemented!() otherwise
+    (humanreadable.rs:181-189)."""
+    from ..errors import PqError
+
+    if not isinstance(result, VectorFrame):
+        raise PqError("interactive mode is not supported for this type of result")
+    if strict_checks:
+        _run_checks(result.checks)
+
+    rows = result.cells.orderBy("instant", "ord").collect()
+    by_instant: dict[int, list] = {}
+    for r in rows:
+        by_instant.setdefault(r["instant"], []).append(r)
+    instants = [r["instant"] for r in result.grid.orderBy("instant").collect()]
+
+    from datetime import datetime, timezone
+
+    out = []
+    for instant in instants:
+        ts = datetime.fromtimestamp(instant // 1000, tz=timezone.utc)
+        lines = ["\x1b[2J\x1b[1;1H", ts.strftime("%Y-%m-%d %H:%M:%S"), "-"]
+        prefix = ""
+        for r in by_instant.get(instant, []):
+            labels = dict(r["labels"])
+            name = labels.get("__name__")
+            if name is not None:
+                lines.append(name)
+                lines.append("\n")
+                prefix = "\t"
+            line = [
+                f"{prefix}{k}: '{v}'" for k, v in sorted(labels.items())
+            ]
+            line.append("\t\t\t%s" % rust_f64_str(r["value"]))
+            lines.append("\t\t".join(line))
+        out.append("\n".join(lines))
+    return out

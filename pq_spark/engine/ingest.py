@@ -70,6 +70,49 @@ def decode(lines: DataFrame, decoder) -> DataFrame:
     raise PqError(f"unknown decoder {decoder!r}")
 
 
+def decode_errors(lines: DataFrame, decoder) -> DataFrame:
+    """Per-line decode errors → DF[line_no, error] — the ``-v`` channel
+    (reference: src/runner.rs:138-146 prints them to stderr and skips).
+    Message texts mirror the reference's error Display chain
+    (error.rs:27-33, decoder.rs:47, regex.rs:22, json.rs:52-56); the inner
+    serde_json message is approximated by Python's json error."""
+    if isinstance(decoder, RegexDecoder):
+        if decoder.regex == "":
+            return lines.select("line_no", F.lit("x").alias("error")).limit(0)
+        return lines.filter(~F.col("line").rlike(decoder.regex)).select(
+            "line_no",
+            F.lit("line decoding failed. Source error: no match found").alias("error"),
+        )
+    if isinstance(decoder, JsonDecoder):
+
+        @pandas_udf("string")
+        def _err(s: pd.Series) -> pd.Series:
+            import json
+
+            def one(line):
+                try:
+                    obj = json.loads(line)
+                except (ValueError, TypeError) as e:
+                    return (
+                        "line decoding failed. Source error: "
+                        f"JSON decoding failed. Source error: {e}"
+                    )
+                if not isinstance(obj, (list, dict)):
+                    return (
+                        "line decoding failed. Source error: "
+                        "JSON decoder supports only flat arrays and objects"
+                    )
+                return None
+
+            return s.map(one)
+
+        return (
+            lines.select("line_no", _err(F.col("line")).alias("error"))
+            .filter(F.col("error").isNotNull())
+        )
+    raise PqError(f"unknown decoder {decoder!r}")
+
+
 def _decode_regex(lines: DataFrame, pattern: str) -> DataFrame:
     """Regex decoder (reference: src/parse/decoding/regex.rs:18-34).
 
@@ -294,6 +337,55 @@ def map_records(
     return rec
 
 
+def map_errors(entries: DataFrame, mapper: Mapper) -> DataFrame:
+    """Per-entry mapping errors → DF[line_no, error] — the ``-v`` channel.
+
+    Mirrors the reference's first-failing-field semantics and message texts
+    (src/parse/mapping/strategy.rs:43,64,73,77-81,90; utils/time.rs:41):
+    the mapper iterates fields in declaration order and returns on the
+    first error, so a chained when() in the same order reproduces both the
+    dropped set and the reported message."""
+    err = F.lit(None).cast("string")
+
+    def first_err(*cases):
+        nonlocal err
+        for cond, msg in cases:
+            err = F.when(err.isNotNull(), err).otherwise(
+                F.when(cond, F.lit(msg))
+            )
+
+    for fld in mapper.fields:
+        if fld.typ == "const":
+            continue
+        if isinstance(fld.loc, int):
+            datum = F.try_element_at(F.col("arr"), F.lit(fld.loc + 1))
+            first_err(
+                (F.col("arr").isNull(), "dict entry cannot be mapped with positional fields"),
+                (datum.isNull(), "tuple entry index out of range"),
+            )
+        else:
+            datum = F.col("map").getItem(fld.loc)
+            first_err(
+                (F.col("map").isNull(), "tuple entry cannot be mapped with named fields"),
+                (datum.isNull(), "dict entry field not found"),
+            )
+        if fld.typ == "num":
+            first_err((datum.try_cast("double").isNull(), "could not parse numeric field"))
+        elif fld.typ == "ts":
+            parsed = _ts_expr(datum, fld.ts_format)
+            msg = (
+                "couldn't guess time format"
+                if fld.ts_format is None
+                else "couldn't parse timestamp"
+            )
+            first_err((parsed.isNull(), msg))
+
+    return (
+        entries.select("line_no", err.alias("error"))
+        .filter(F.col("error").isNotNull())
+    )
+
+
 # ---------------------------------------------------------------------------
 # records → samples (the unpivot / fan-out)
 # ---------------------------------------------------------------------------
@@ -355,18 +447,28 @@ def samples_from_table(
         *[F.col(c).cast("double").alias(c) for c in value_cols],
     ).filter(F.col("ts").isNotNull())
 
-    metrics = list(value_cols) + ([LINE_METRIC] if with_line_metric else [])
-    stack_parts = []
-    for m in value_cols:
-        stack_parts.append(f"'{m}', `{m}`")
+    # unpivot as a UNION ALL of literal-named branches instead of stack():
+    # a metric-name selector (filter name = '<m>') constant-folds each
+    # branch's predicate, so Catalyst prunes the non-selected branches AND
+    # their scans — a single-metric query reads ONE value column with no
+    # Generate/Expand node. Trade-off: a query touching k metrics plans k
+    # column-pruned scans of the source instead of one wide scan; pq
+    # queries select one metric per selector, so pruning wins.
+    def _branch(name_lit: str, value_col: Column) -> DataFrame:
+        return base.select(
+            "seq",
+            "ts",
+            *label_cols,
+            F.lit(name_lit).alias("name"),
+            value_col.alias("value"),
+        ).filter(F.col("value").isNotNull())
+
+    branches = [_branch(m, F.col(m).cast("double")) for m in value_cols]
     if with_line_metric:
-        stack_parts.append(f"'{LINE_METRIC}', cast(seq as double)")
-    unpivoted = base.select(
-        "seq",
-        "ts",
-        *label_cols,
-        F.expr(f"stack({len(metrics)}, {', '.join(stack_parts)}) as (name, value)"),
-    ).filter(F.col("value").isNotNull())
+        branches.append(_branch(LINE_METRIC, F.col("seq").cast("double")))
+    unpivoted = branches[0]
+    for b in branches[1:]:
+        unpivoted = unpivoted.unionByName(b)
 
     label_map = F.map_concat(
         F.map_from_arrays(

@@ -298,16 +298,12 @@ class Planner:
             return col.rlike(m.anchored_pattern)
         return col.isNotNull() & ~col.rlike(m.anchored_pattern)
 
-    def _plan_selector(self, sel: VectorSelector):
+    def _grid_params(self, matched: DataFrame, lookback: int):
+        """Bounds aggregate → (params, grid): the evaluation grid
+        ``t0 = anchor + min(lookback, interval) − 1`` with the trailing
+        drain (vector.rs:29-45,74-107)."""
         ctx = self.ctx
         interval = ctx.interval_ms
-        # a range selector's duration overrides the lookback (vector.rs:29-32)
-        lookback = sel.duration_ms if sel.duration_ms is not None else ctx.lookback_ms
-
-        matched = ctx.samples
-        for m in sel.matchers:
-            matched = matched.filter(self._matcher_filter(m))
-
         bounds = matched.agg(
             F.min("ts").alias("_tsmin"), F.max("ts").alias("_tsmax")
         )
@@ -326,7 +322,6 @@ class Planner:
                 _floordiv(F.col("_tsmax") + F.lit(lookback - 1) - F.col("_t0"), interval),
             ),
         )
-
         grid = params.filter(F.col("_kend").isNotNull()).select(
             F.explode(
                 F.sequence(
@@ -336,6 +331,19 @@ class Planner:
                 )
             ).alias("instant")
         )
+        return params, grid
+
+    def _plan_selector(self, sel: VectorSelector):
+        ctx = self.ctx
+        interval = ctx.interval_ms
+        # a range selector's duration overrides the lookback (vector.rs:29-32)
+        lookback = sel.duration_ms if sel.duration_ms is not None else ctx.lookback_ms
+
+        matched = ctx.samples
+        for m in sel.matchers:
+            matched = matched.filter(self._matcher_filter(m))
+
+        params, grid = self._grid_params(matched, lookback)
 
         # star schema: fact rows carry only the 64-bit skey; the label map
         # and signature string live in the per-series dim and join back
@@ -593,9 +601,31 @@ class Planner:
             if not isinstance(arg, VectorFrame):
                 raise PqError("label_replace expects an instant vector")
             return self._label_replace(arg, *node.args[1:5])
+        if self.ctx.extensions and name == "vector":
+            return self._vector_const(float(node.args[0]))
         # reference: create_func_evaluator panics "Coming soon..."
         # (function.rs:27) for clamp*/vector/label_replace
         raise PqError(f"function {name} is not implemented")
+
+    def _vector_const(self, s: float) -> VectorFrame:
+        """Extension (Prometheus ``vector(s)``): a single label-less series
+        carrying ``s`` at every grid instant; the grid anchors on the full
+        sample stream (a matcher-less selector)."""
+        _, grid = self._grid_params(self.ctx.samples, self.ctx.lookback_ms)
+        skey = F.xxhash64(F.lit(""))
+        facts = grid.select(
+            "instant", skey.alias("skey"), F.lit(s).alias("value")
+        )
+        empty_labels = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+        dim = grid.limit(1).select(
+            skey.alias("skey"),
+            F.lit("").alias("sig"),
+            empty_labels.alias("labels"),
+            F.lit("").alias("ord"),
+        )
+        return VectorFrame(grid, facts, dim)
 
     @staticmethod
     def _dropname_dim(dim: DataFrame) -> DataFrame:

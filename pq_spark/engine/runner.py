@@ -59,11 +59,26 @@ class ProgramResult:
     entries: DataFrame | None = None
     records: DataFrame | None = None
     query_result: object | None = None  # ScalarResult | VectorFrame | RangeFrame
+    errors: DataFrame | None = None  # DF[line_no, error] — the -v channel
     _cached: DataFrame | None = None
 
-    def output_lines(self, strict_checks: bool = True) -> list[str]:
+    def error_lines(self) -> list[str]:
+        """Per-record decode/map errors in input order (printed to stderr
+        under ``-v``, reference: src/runner.rs:138-146)."""
+        if self.errors is None:
+            return []
+        return [r["error"] for r in self.errors.orderBy("line_no").collect()]
+
+    def output_lines(
+        self,
+        strict_checks: bool = True,
+        verbose: bool = False,
+        interactive: bool = False,
+    ) -> list[str]:
         try:
             if self.kind == "query":
+                if interactive and self.formatter is None:
+                    return fmt.prominteractive_lines(self.query_result, strict_checks)
                 if self.formatter == "promapi":
                     return fmt.promapi_lines(self.query_result, strict_checks)
                 if self.formatter == "json":
@@ -76,17 +91,17 @@ class ProgramResult:
                         return [rust_f64_str(self.query_result.value)]
                     return fmt.promapi_lines(self.query_result, strict_checks)
                 # default: human-readable
-                return fmt.promhuman_lines(self.query_result, strict_checks)
+                return fmt.promhuman_lines(self.query_result, strict_checks, verbose)
             if self.kind == "entries":
                 if self.formatter == "json":
-                    return fmt.entries_json_lines(self.entries)
+                    return fmt.entries_json_lines(self.entries, verbose)
                 if self.formatter is None:
-                    return fmt.entries_human_lines(self.entries)
+                    return fmt.entries_human_lines(self.entries, verbose)
             if self.kind == "records":
                 if self.formatter == "json":
-                    return fmt.records_json_lines(self.records)
+                    return fmt.records_json_lines(self.records, verbose)
                 if self.formatter is None:
-                    return fmt.records_human_lines(self.records)
+                    return fmt.records_human_lines(self.records, verbose)
             raise PqError(f"unsupported formatter for {self.kind} output")
         finally:
             if self._cached is not None:
@@ -143,14 +158,16 @@ class PqEngine:
         )
 
         entries = ingest.decode(lines_df, ast.decoder)
+        errors = ingest.decode_errors(lines_df, ast.decoder)
         if ast.mapper is None:
             if ast.query is not None:
                 raise PqError("'select' without 'map' is not supported for this parser")
-            return ProgramResult("entries", ast.formatter, entries=entries)
+            return ProgramResult("entries", ast.formatter, entries=entries, errors=errors)
 
         records = ingest.map_records(entries, ast.mapper, since_ms, until_ms)
+        errors = errors.unionByName(ingest.map_errors(entries, ast.mapper))
         if ast.query is None:
-            return ProgramResult("records", ast.formatter, records=records)
+            return ProgramResult("records", ast.formatter, records=records, errors=errors)
 
         samples = ingest.samples_from_records(records)
         cached = None
@@ -162,7 +179,7 @@ class PqEngine:
             ast.query, samples, since_ms, interval_ms, lookback_ms
         )
         return ProgramResult(
-            "query", ast.formatter, query_result=result, _cached=cached
+            "query", ast.formatter, query_result=result, errors=errors, _cached=cached
         )
 
     # -- query over an arbitrary samples fact table ---------------------------
@@ -206,6 +223,7 @@ def run_cli(spark: SparkSession, argv: list[str], input_lines: list[str]) -> byt
     since = until = None
     interval = lookback = None
     extensions = False
+    verbose = interactive = False
     i = 1
     while i < len(argv):
         a = argv[i]
@@ -225,8 +243,10 @@ def run_cli(spark: SparkSession, argv: list[str], input_lines: list[str]) -> byt
         elif a in ("--lookback", "-b"):
             i += 1
             lookback = parse_duration(argv[i])
-        elif a in ("-i", "--interactive", "-v", "--verbose"):
-            pass
+        elif a in ("-i", "--interactive"):
+            interactive = True
+        elif a in ("-v", "--verbose"):
+            verbose = True
         elif program is None:
             program = a
         else:
@@ -242,5 +262,11 @@ def run_cli(spark: SparkSession, argv: list[str], input_lines: list[str]) -> byt
         program, input_lines, since_ms=since, until_ms=until,
         interval_ms=interval, lookback_ms=lookback,
     )
-    lines = result.output_lines()
+    if verbose:
+        # per-record decode/map errors go to stderr (runner.rs:138-146)
+        import sys
+
+        for e in result.error_lines():
+            print(e, file=sys.stderr)
+    lines = result.output_lines(verbose=verbose, interactive=interactive)
     return ("".join(line + "\n" for line in lines)).encode()

@@ -62,3 +62,93 @@ def test_interval_widens_grid(spark):
     assert [round(r["result"][0]["value"][0], 3) for r in out] == [
         1609459203.999, 1609459207.999]
     assert [r["result"][0]["value"][1] for r in out] == ["20", "40"]
+
+
+# -- -v / -i parity (reference: src/runner.rs:138-146, humanreadable.rs) -----
+
+VLOG = [
+    "2021-01-01T00:00:01 nginx 10",
+    "garbage!!!",
+    "2021-01-01T00:00:03 httpd 5",
+]
+VPROG = r"/^(\S+) (\S+) (\d+)$/ | map {.0:ts, .1:str as app, .2:num as v}"
+
+
+def test_verbose_error_channel(spark):
+    import contextlib
+    import io
+
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        out = run_cli(spark, ["pq", VPROG, "-v"], VLOG)
+    # records prefixed with the line number; non-matching line reported
+    assert out.decode().splitlines() == [
+        "1: 2021-01-01T00:00:01.000\tapp=nginx\tv=10",
+        "3: 2021-01-01T00:00:03.000\tapp=httpd\tv=5",
+    ]
+    assert err.getvalue().splitlines() == [
+        "line decoding failed. Source error: no match found",
+    ]
+
+
+def test_verbose_map_errors(spark):
+    import contextlib
+    import io
+
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        out = run_cli(
+            spark, ["pq", "json | map {.x:num as v}", "-v"],
+            ['{"x": "nope"}', '{"y": 1}', "[1,2]", '{"x": 3}'],
+        )
+    assert out.decode().splitlines() == ["4: v=3"]
+    # first-failing-field message per bad entry (strategy.rs:43,73,77)
+    assert err.getvalue().splitlines() == [
+        "could not parse numeric field",
+        "dict entry field not found",
+        "tuple entry cannot be mapped with named fields",
+    ]
+
+
+def test_verbose_json_entry_repr(spark):
+    out = run_cli(spark, ["pq", r"/^(\S+) (\S+) (\d+)$/ | to_json", "-v"], VLOG[:1])
+    assert out.decode().splitlines() == [
+        '{"line":1,"data":["2021-01-01T00:00:01","nginx","10"]}'
+    ]
+
+
+def test_verbose_no_data_lines(spark):
+    log = ["2021-01-01T00:00:01 nginx 10", "2021-01-01T00:00:05 nginx 20"]
+    out = run_cli(spark, ["pq", VPROG + " | select v", "-v"], log)
+    lines = out.decode().splitlines()
+    assert lines[1] == "2021-01-01T00:00:02.000 <no data>"
+    assert lines[3] == "2021-01-01T00:00:04.000 <no data>"
+    assert len(lines) == 5
+
+
+def test_interactive_screen_refresh(spark):
+    out = run_cli(spark, ["pq", VPROG + " | select v", "-i"], VLOG[:1])
+    text = out.decode()
+    assert text.startswith("\x1b[2J\x1b[1;1H\n2021-01-01 00:00:01\n-\n")
+    # metric name line, blank spacer, then "\t"-prefixed items joined "\t\t"
+    assert "\nv\n\n\n\t__name__: 'v'\t\t\tapp: 'nginx'\t\t\t\t\t10\n" in text
+
+
+def test_out_of_order_input_is_permutation_invariant(spark):
+    """DOCUMENTED DIVERGENCE (COVERAGE.md §2.4): the reference anchors the
+    grid on the ARRIVAL-first sample and drops samples older than
+    next_instant − lookback on arrival (vector.rs:86-102) — out-of-order
+    input yields order-dependent output there. A batch engine has no
+    arrival order: we anchor at min(ts), so any permutation of the input
+    lines produces identical output, and late samples still serve the
+    instants they are fresh for."""
+    inorder = ["2021-01-01T00:00:02 a 9", "2021-01-01T00:00:03 a 1"]
+    shuffled = list(reversed(inorder))
+    prog = r"/^(\S+) (\S+) (\d+)$/ | map {.0:ts, .1:str as l, .2:num as v} | select v | to_promapi"
+    out_a = run_cli(spark, ["pq", prog], inorder)
+    out_b = run_cli(spark, ["pq", prog], shuffled)
+    assert out_a == out_b
+    lines = [json.loads(l) for l in out_a.decode().splitlines()]
+    # grid anchored at min(ts) + 999ms; the 2s sample is served at 2.999
+    assert lines[0]["result"][0]["value"] == [1609459202.999, "9"]
+    assert lines[1]["result"][0]["value"] == [1609459203.999, "1"]

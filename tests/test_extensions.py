@@ -106,3 +106,32 @@ def test_group_left(spark):
     with pytest.raises(PqError):
         PqEngine(spark, extensions=False).evaluate(
             'req * on(job) group_left cap', sdf)
+
+
+def test_vector_const(spark):
+    """Extension vector(s): one label-less series carrying s at every grid
+    instant (the reference parses vector() but panics, ast.rs:294-331)."""
+    from pq_spark.engine.runner import PqEngine
+
+    eng = PqEngine(spark, strict=False, extensions=True)
+    lines = ["2021-01-01T00:00:01 a 1", "2021-01-01T00:00:03 a 2"]
+    prog = r"/^(\S+) (\S+) (\d+)$/ | map {.0:ts, .1:str as l, .2:num as v} | select vector(7)"
+    r = eng.run_program(prog, lines)
+    got = [(x["instant"], x["value"], dict(x["labels"])) for x in
+           r.query_result.cells.orderBy("instant").collect()]
+    t0 = 1609459201999
+    assert got == [(t0, 7.0, {}), (t0 + 1000, 7.0, {}), (t0 + 2000, 7.0, {})]
+
+
+def test_vector_requires_extensions(spark):
+    from pq_spark.engine.runner import PqEngine
+    from pq_spark.errors import PqError
+
+    eng = PqEngine(spark, strict=False, extensions=False)
+    lines = ["2021-01-01T00:00:01 a 1"]
+    prog = r"/^(\S+) (\S+) (\d+)$/ | map {.0:ts, .1:str as l, .2:num as v} | select vector(7)"
+    try:
+        eng.run_program(prog, lines).output_lines()
+        assert False, "expected PqError"
+    except PqError as e:
+        assert "not implemented" in str(e)

@@ -266,7 +266,7 @@ def map_records(
             continue
 
         if isinstance(fld.loc, int):
-            datum = F.try_element_at(F.col("arr"), F.lit(fld.loc + 1))
+            datum = F.get(F.col("arr"), fld.loc)  # NULL on OOB even under ANSI; try_element_at trips a Janino codegen bug (interpreted fallback)
             valid = valid & F.col("arr").isNotNull()
         else:
             datum = F.col("map").getItem(fld.loc)
@@ -358,7 +358,7 @@ def map_errors(entries: DataFrame, mapper: Mapper) -> DataFrame:
         if fld.typ == "const":
             continue
         if isinstance(fld.loc, int):
-            datum = F.try_element_at(F.col("arr"), F.lit(fld.loc + 1))
+            datum = F.get(F.col("arr"), fld.loc)  # NULL on OOB even under ANSI; try_element_at trips a Janino codegen bug (interpreted fallback)
             first_err(
                 (F.col("arr").isNull(), "dict entry cannot be mapped with positional fields"),
                 (datum.isNull(), "tuple entry index out of range"),

@@ -251,6 +251,39 @@ def rollup_cascade(
     return out
 
 
+def write_bucketed_tier(
+    partials: DataFrame, table_name: str, path: str, buckets: int = 32
+) -> None:
+    """Persist NARROW tier partials bucketed by ``skey``.
+
+    Bucketing pre-shuffles the table ONCE at write time: any later
+    aggregation or self/tier join whose keys include ``skey`` reads the
+    buckets co-located and plans NO Exchange (HashPartitioning(skey)
+    satisfies ClusteredDistribution for any superset of keys, e.g. the
+    (bucket_ts, skey) re-aggregation of the cascade). Rows are also
+    sorted by (skey, bucket_ts) within buckets so merge-style access
+    stays sequential.
+
+    Bucket metadata lives in the session catalog (``saveAsTable``); on a
+    cluster this is the Hive/Iceberg metastore — in tests the in-memory
+    catalog of the current session."""
+    (
+        partials.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, "skey")
+        .sortBy("skey", "bucket_ts")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed_tier(spark, table_name: str) -> DataFrame:
+    """Read a bucketed tier WITH its bucketing metadata (must go through
+    the catalog — ``spark.read.parquet(path)`` would lose the bucket
+    spec and re-shuffle)."""
+    return spark.table(table_name)
+
+
 def gapfill(
     tier_df: DataFrame,
     tier_ms: int,

@@ -193,3 +193,37 @@ def test_lineage_fingerprint_on_ansi_session(spark, tmp_path, samples):
         assert r.written
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_bucketed_tier_skips_reshuffle(spark, tmp_path, samples):
+    """Bucketed tier layout (PLANS.md §7 item 3): a cascade re-aggregation
+    and an skey join over a written tier plan NO Exchange — the bucketing
+    pre-shuffled the table once at write time."""
+    import re
+
+    from pq_spark.rollup.tiers import (
+        read_bucketed_tier, tier_partials, write_bucketed_tier,
+    )
+
+    p1m = tier_partials(samples, "1m")
+    name = "t1m_bucketed_test"
+    write_bucketed_tier(p1m, name, str(tmp_path / "t1m"), buckets=8)
+    t = read_bucketed_tier(spark, name)
+
+    hourly = tier_from_tier(t, "1h")
+    plan = hourly._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    n_exchange = sum(
+        1 for l in plan.splitlines() if re.match(r"^\(\d+\) Exchange", l)
+    )
+    assert n_exchange == 0, plan
+    assert hourly.count() > 0
+
+    j = t.alias("a").join(read_bucketed_tier(spark, name).alias("b"), "skey")
+    planj = j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert not any(
+        re.match(r"^\(\d+\) Exchange", l) for l in planj.splitlines()
+    ), planj

@@ -671,6 +671,55 @@ def _lsh_bucket_sql() -> str:
 register("ann_lsh_buckets", _lsh_bucket_sizes, _lsh_bucket_sql())
 
 
+def _emb_near_dup(spark, sf):
+    # threshold 0.35 is a demonstration value for the synthetic embeddings
+    # (no true near-dups exist: max blocked-pair cosine ≈ 0.45); real
+    # corpora use the 0.9 default
+    return textops.embedding_near_dup_pairs(
+        _emb(spark, sf), threshold=0.35, num_planes=8
+    )
+
+
+def _emb_near_dup_sql() -> str:
+    """Blocking-independent statement of the operator's semantics: pairs
+    whose LSH buckets differ by <= 1 bit AND cosine >= threshold."""
+    planes = []
+    for p in range(8):
+        comps = [
+            (int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(64)
+        ]
+        planes.append("[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]")
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip(embedding::DOUBLE[], {pl}), "
+        f"t -> t[1] * t[2])) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    return f"""WITH b AS (
+  SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         a.embedding AS ea, c.embedding AS eb
+  FROM b a JOIN b c ON a.vec_id < c.vec_id
+                    AND bit_count(xor(a.bucket, c.bucket)) <= 1
+),
+d AS (
+  SELECT vec_a, vec_b,
+         list_sum(list_transform(list_zip(ea::DOUBLE[], eb::DOUBLE[]),
+                                 t -> t[1] * t[2])) AS dot,
+         sqrt(list_sum(list_transform(ea::DOUBLE[], x -> x * x))) AS na,
+         sqrt(list_sum(list_transform(eb::DOUBLE[], x -> x * x))) AS nb
+  FROM cand
+)
+SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cos_sim
+FROM d WHERE round(dot / (na * nb), 6) >= 0.35"""
+
+
+register("dedup_embedding_pairs", _emb_near_dup, _emb_near_dup_sql())
+
+
 # -- additional coverage: topk/quantile/stddev, aggregation quirks, bool mode
 
 register(

@@ -390,6 +390,62 @@ def ann_topk_lsh(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, num_planes: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64,
+    bucket_hamming: int = 1, max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-family member for
+    vector columns. Blocking: random-hyperplane LSH buckets; candidates are
+    pairs whose buckets differ by at most ``bucket_hamming`` bits
+    (implemented as an equi-join on exploded probe keys — one side emits
+    its bucket plus every 1-bit flip, so a pair within hamming 1 always
+    shares a key; NEVER an all-pairs product). Verification: exact cosine
+    ≥ threshold on the candidates. Because only ONE side explodes probe
+    keys, the equi-join matches exactly the pairs with
+    ``hamming(bucket_a, bucket_b) <= bucket_hamming`` — the semantics are
+    blocking-independent, so a DuckDB oracle can state them as a plain
+    join condition."""
+    if bucket_hamming not in (0, 1):
+        raise ValueError("bucket_hamming must be 0 or 1")
+    b = lsh_buckets(embeddings, num_planes, vec_col, id_col, dim)
+    if max_bucket is not None:
+        b = b.join(
+            b.groupBy("bucket").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= F.lit(max_bucket)).select("bucket"),
+            "bucket", "left_semi",
+        )
+    # probe keys: own bucket + every bucket within the hamming radius
+    keys = [F.col("bucket")]
+    if bucket_hamming >= 1:
+        keys += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)
+        ]
+    a = b.select(
+        F.col(id_col).alias("ida"), F.col(vec_col).alias("_ea"),
+        F.col("bucket").alias("_ba"), F.explode(F.array(*keys)).alias("_probe"),
+    )
+    c = b.select(
+        F.col(id_col).alias("idb"), F.col(vec_col).alias("_eb"),
+        F.col("bucket").alias("_probe"),
+    )
+    cand = (
+        a.join(c, "_probe")
+        .filter(F.col("ida") < F.col("idb"))
+        .dropDuplicates(["ida", "idb"])
+    )
+    va = F.transform(F.col("_ea"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("_eb"), lambda x: x.cast("double"))
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return (
+        cand.withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .select(
+            F.col("ida").alias("vec_a"), F.col("idb").alias("vec_b"), "cos_sim"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -247,6 +247,15 @@ class PlanContext:
     start_at_ms: int | None = None
     strict: bool = True
     extensions: bool = False
+    # per-selector dims are persisted (they are read by SEVERAL broadcasts:
+    # the group/match maps and the output label join — without caching each
+    # broadcast would recompute the fact-scale dim discovery); the runner
+    # unpersists them after the result is consumed
+    persisted: list = None
+
+    def __post_init__(self):
+        if self.persisted is None:
+            self.persisted = []
 
 
 class Planner:
@@ -368,7 +377,9 @@ class Planner:
                 _labels_from_sig2(F.col("_sig2")).alias("labels"),
                 F.col("sig").alias("ord"),
             )
+            .persist()
         )
+        self.ctx.persisted.append(sel_dim)
 
         j = matched.crossJoin(F.broadcast(params.filter(F.col("_kend").isNotNull())))
         k0 = F.greatest(F.lit(0).cast("long"), _ceildiv(F.col("ts") - F.col("_t0"), interval))

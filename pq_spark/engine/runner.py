@@ -60,7 +60,7 @@ class ProgramResult:
     records: DataFrame | None = None
     query_result: object | None = None  # ScalarResult | VectorFrame | RangeFrame
     errors: DataFrame | None = None  # DF[line_no, error] — the -v channel
-    _cached: DataFrame | None = None
+    _cached: list | None = None  # DataFrames to unpersist after output
 
     def error_lines(self) -> list[str]:
         """Per-record decode/map errors in input order (printed to stderr
@@ -104,8 +104,8 @@ class ProgramResult:
                     return fmt.records_human_lines(self.records, verbose)
             raise PqError(f"unsupported formatter for {self.kind} output")
         finally:
-            if self._cached is not None:
-                self._cached.unpersist()
+            for df in self._cached or []:
+                df.unpersist()
 
     def dataframe(self) -> DataFrame:
         """Relational access to the result (engine-level API)."""
@@ -170,14 +170,15 @@ class PqEngine:
             return ProgramResult("records", ast.formatter, records=records, errors=errors)
 
         samples = ingest.samples_from_records(records)
-        cached = None
+        cached = []
         if _count_selectors(ast.query) > 1:
             samples = samples.cache()
-            cached = samples
+            cached.append(samples)
 
         result = self.evaluate(
             ast.query, samples, since_ms, interval_ms, lookback_ms
         )
+        cached.extend(self.last_persisted)
         return ProgramResult(
             "query", ast.formatter, query_result=result, errors=errors, _cached=cached
         )
@@ -208,7 +209,12 @@ class PqEngine:
             strict=self.strict,
             extensions=self.extensions,
         )
-        return Planner(ctx).plan(query)
+        result = Planner(ctx).plan(query)
+        # per-selector dims persisted during planning; callers that bypass
+        # run_program may unpersist via this list (they are dim-sized and
+        # LRU-evictable, so leaving them cached is also fine)
+        self.last_persisted = list(ctx.persisted)
+        return result
 
 
 # ---------------------------------------------------------------------------

@@ -386,6 +386,43 @@ SELECT bucket_ts, et, ub, value, filled FROM (
 
 register("gapfill_1m_day1", _gapfill_query, _GAPFILL_SQL)
 
+
+def _sum_over_tier(spark, sf):
+    """pq query served FROM the 1m tier (rollup-serving path): exactly
+    equivalent to the raw-data query at interval == tier with an aligned
+    --since, while scanning #series × #buckets rows."""
+    from .rollup.tiers import samples_from_tier
+
+    tier = rollup_tier(event_samples(spark, sf), "1m")
+    ts = samples_from_tier(tier, value_col="last_val", ts_mode="bucket")
+    vf = _engine(spark).evaluate(
+        "sum by (et) (value)", ts, since_ms=SINCE_MS, interval_ms=MIN_MS
+    )
+    return vf.cells.select(
+        "instant",
+        F.col("labels").getItem("et").alias("et"),
+        F.round(F.col("value"), 6).alias("sum_value"),
+    )
+
+
+# oracle: per-bucket per-series last value (the tier), summed by et; the
+# grid instant for bucket b is b + interval − 1 (aligned --since)
+_SUM_OVER_TIER_SQL = f"""WITH {_S_CTE},
+r AS (
+  SELECT ts_ms - (ts_ms % 60000) AS bucket_ts, et, ub, value,
+         row_number() OVER (PARTITION BY ts_ms - (ts_ms % 60000), et, ub
+                            ORDER BY ts_ms DESC, event_id DESC) AS rnd
+  FROM s
+),
+t AS (
+  SELECT bucket_ts, et, ub, max(CASE WHEN rnd = 1 THEN value END) AS last_v
+  FROM r GROUP BY bucket_ts, et, ub
+)
+SELECT bucket_ts + {MIN_MS - 1} AS instant, et, round(sum(last_v), 6) AS sum_value
+FROM t GROUP BY bucket_ts, et"""
+
+register("pq_sum_by_et_over_tier_1m", _sum_over_tier, _SUM_OVER_TIER_SQL)
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------

@@ -251,6 +251,31 @@ def rollup_cascade(
     return out
 
 
+def samples_from_tier(
+    tier: DataFrame, value_col: str = "last_val", ts_mode: str = "bucket"
+) -> DataFrame:
+    """Serve pq queries FROM a continuous-aggregate tier instead of raw
+    samples (the hypertable/rollup-serving pattern): each tier row becomes
+    one sample carrying the chosen partial. With ``value_col='last_val'``,
+    ``ts_mode='bucket'`` and a bucket-aligned ``--since``, an instant-vector
+    query at ``interval == tier`` is EXACTLY equivalent to the same query
+    over raw data (the per-bucket last IS the latest sample in each grid
+    window) while scanning #series × #buckets rows instead of the raw
+    corpus — this is why the cascade exists.
+
+    ts_mode: 'bucket' (grid-aligned, rollup-serving convention) or 'last'
+    (the true timestamp of the bucket's last sample, for staleness-faithful
+    irregular grids)."""
+    ts = F.col("bucket_ts") if ts_mode == "bucket" else F.col("last_ts")
+    return tier.select(
+        F.col("bucket_ts").alias("seq"),  # unique per (series, bucket)
+        ts.alias("ts"),
+        "name",
+        "labels",
+        F.col(value_col).cast("double").alias("value"),
+    )
+
+
 def write_bucketed_tier(
     partials: DataFrame, table_name: str, path: str, buckets: int = 32
 ) -> None:

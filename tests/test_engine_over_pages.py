@@ -68,3 +68,19 @@ def test_matcher_on_domain(spark, page_ctx):
                        interval_ms=3_600_000)
     doms = {r["labels"]["domain"] for r in vf2.cells.select("labels").collect()}
     assert doms <= {"domain00.example", "domain01.example"}
+
+
+def test_query_served_from_tier_equals_raw(spark):
+    """Rollup-serving equivalence: an instant-vector aggregate served FROM
+    the 1m tier (samples_from_tier) is IDENTICAL to the same query over raw
+    samples at interval == tier with an aligned --since — the per-bucket
+    last IS the latest sample in each grid window. This is the cascade's
+    reason to exist: the tier-served scan is #series × #buckets rows."""
+    import pq_spark.driver_queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    raw = dq.QUERIES["pq_sum_by_et"](spark, sf)
+    tier = dq.QUERIES["pq_sum_by_et_over_tier_1m"](spark, sf)
+    a = sorted(tuple(r) for r in raw.collect())
+    b = sorted(tuple(r) for r in tier.collect())
+    assert a == b and len(a) > 0

@@ -757,6 +757,45 @@ FROM d WHERE round(dot / (na * nb), 6) >= 0.35"""
 register("dedup_embedding_pairs", _emb_near_dup, _emb_near_dup_sql())
 
 
+def _ann_ivf(spark, sf):
+    return textops.ann_topk_ivf(
+        _emb(spark, sf), _query_vec(spark, sf), k=10, n_centroids=16, nprobe=4
+    )
+
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), "
+    "t -> t[1] * t[2])) / "
+    "(sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x * x))) * "
+    "sqrt(list_sum(list_transform({b}::DOUBLE[], x -> x * x))))"
+)
+
+_ANN_IVF_SQL = f"""WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY {_COS_SQL.format(a='qe', b='ce')} DESC, cid LIMIT 4
+),
+asg AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.ce')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+cand AS (SELECT a.vec_id, a.embedding FROM asg a JOIN probe USING (cid))
+SELECT vec_id, round({_COS_SQL.format(a='cand.embedding', b='q.qe')}, 6) AS cos_sim
+FROM cand, q
+ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+register("ann_ivf_topk", _ann_ivf, _ANN_IVF_SQL)
+
+
 # -- additional coverage: topk/quantile/stddev, aggregation quirks, bool mode
 
 register(

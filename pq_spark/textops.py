@@ -390,6 +390,72 @@ def ann_topk_lsh(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def ivf_assign(
+    embeddings: DataFrame, centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    (max cosine, ties to the lowest centroid id). Centroids are passed as
+    driver-side literals — they are the trained model, tiny by definition
+    (real deployments train k-means offline; the partition/probe mechanics
+    here are the IVF part). Pure JVM expressions: one struct-max over
+    #centroids cosine terms per row, no shuffle."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nv = _norm(v)
+    scored = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        cos = _dot(v, c) / (nv * _norm(c))
+        # max of struct(cos, -cid) ⇒ highest cosine, ties to lowest cid
+        scored.append(F.struct(cos.alias("s"), F.lit(-cid).alias("nc")))
+    best = F.array_max(F.array(*scored))
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), (-best.getField("nc")).alias("centroid_id")
+    )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` inverted lists, probe the ``nprobe`` lists nearest the
+    query, brute-force cosine inside them. The scale path reads
+    ~nprobe/n_centroids of the corpus; at cluster scale the lists are the
+    partition keys. Centroids here are the first ``n_centroids`` vectors
+    by id — a deterministic, training-free quantizer so a DuckDB oracle
+    can restate the whole operator; swap in offline-trained k-means
+    centroids for real recall."""
+    import math
+
+    cent_rows = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    centroids = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in cent_rows
+    )
+    q = [float(x) for x in query_vec]
+
+    def cos(c):
+        # sequential left-fold, matching F.aggregate / DuckDB list_sum
+        # bit-for-bit so probe selection is oracle-reproducible
+        dot = nq = nc = 0.0
+        for a, b in zip(q, c):
+            dot += a * b
+            nq += a * a
+            nc += b * b
+        return dot / (math.sqrt(nq) * math.sqrt(nc))
+
+    probe = sorted(centroids, key=lambda t: (-cos(t[1]), t[0]))[:nprobe]
+    probe_ids = [cid for cid, _ in probe]
+    asg = ivf_assign(embeddings, centroids, vec_col, id_col)
+    cand = asg.filter(F.col("centroid_id").isin(probe_ids))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.9, num_planes: int = 8,
     vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64,

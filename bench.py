@@ -126,9 +126,16 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     ]
     out = {}
     for name in names:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
-        out[name] = round(time.time() - t0, 3)
+        # best of 2: the shared host's noise spikes (measured 2-20× on
+        # identical code) hit single cold runs hardest; the second run also
+        # amortizes codegen/JIT, so min-of-2 is the stable statistic
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = round(best, 3)
     return out
 
 

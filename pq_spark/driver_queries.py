@@ -866,6 +866,102 @@ register(
 )
 
 
+# -- extension operators (reference parses these but panics; ours implement
+#    Prometheus semantics behind extensions=True) — each with an oracle -------
+
+register(
+    "pq_clamp",
+    lambda spark, sf: _cells(spark, sf, "clamp(value, 10, 30)", MIN_MS,
+                             ("et", "ub"), "clamped"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, ub, least(greatest(value, 10), 30) AS clamped FROM latest",
+)
+
+register(
+    "pq_label_replace",
+    lambda spark, sf: _cells(
+        spark, sf, 'label_replace(value, "tier", "t$1", "ub", "([0-9])")',
+        MIN_MS, ("et", "ub", "tier"), "value",
+    ),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, ub, 't' || ub AS tier, value FROM latest",
+)
+
+register(
+    # click series kept only where an error series with the same ub exists
+    # at that instant (Prometheus 'and' with on(ub))
+    "pq_and",
+    lambda spark, sf: _cells(
+        spark, sf, 'value{et="click"} and on(ub) value{et="error"}', MIN_MS,
+        ("et", "ub"), "value",
+    ),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT a.instant, a.et, a.ub, a.value "
+    "FROM (SELECT * FROM latest WHERE et = 'click') a "
+    "WHERE EXISTS (SELECT 1 FROM latest b WHERE b.et = 'error' "
+    "              AND b.instant = a.instant AND b.ub = a.ub)",
+)
+
+register(
+    "pq_unless",
+    lambda spark, sf: _cells(
+        spark, sf, 'value{et="click"} unless on(ub) value{et="error"}', MIN_MS,
+        ("et", "ub"), "value",
+    ),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT a.instant, a.et, a.ub, a.value "
+    "FROM (SELECT * FROM latest WHERE et = 'click') a "
+    "WHERE NOT EXISTS (SELECT 1 FROM latest b WHERE b.et = 'error' "
+    "                  AND b.instant = a.instant AND b.ub = a.ub)",
+)
+
+register(
+    # all click series, plus error series whose ub has NO click at that
+    # instant (Prometheus 'or' with on(ub))
+    "pq_or",
+    lambda spark, sf: _cells(
+        spark, sf, 'value{et="click"} or on(ub) value{et="error"}', MIN_MS,
+        ("et", "ub"), "value",
+    ),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, ub, value FROM latest WHERE et = 'click' "
+    "UNION ALL "
+    "SELECT b.instant, b.et, b.ub, b.value FROM latest b "
+    "WHERE b.et = 'error' AND NOT EXISTS ("
+    "  SELECT 1 FROM latest a WHERE a.et = 'click' "
+    "  AND a.instant = b.instant AND a.ub = b.ub)",
+)
+
+register(
+    # many-to-one: every series (any et) + the ub's error value
+    "pq_group_left",
+    lambda spark, sf: _cells(
+        spark, sf, 'value + on(ub) group_left value{et="error"}', MIN_MS,
+        ("et", "ub"), "vsum", round6=True,
+    ),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT a.instant, a.et, a.ub, round(a.value + b.value, 6) AS vsum "
+    "FROM latest a JOIN (SELECT * FROM latest WHERE et = 'error') b "
+    "USING (instant, ub)",
+)
+
+
+def _vector_const_q(spark, sf):
+    vf = _engine(spark).evaluate(
+        "vector(42)", event_samples(spark, sf), since_ms=SINCE_MS,
+        interval_ms=MIN_MS,
+    )
+    return vf.cells.select("instant", F.col("value").alias("cval"))
+
+
+register(
+    "pq_vector_const",
+    _vector_const_q,
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)} "
+    "SELECT instant, 42.0 AS cval FROM g",
+)
+
+
 # -- LSH candidate pairs + SimHash hamming pairs (scale-path dedup) ------------
 
 _BANDS = 4

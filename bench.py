@@ -48,12 +48,18 @@ def _mk_spark(cpus: int, shuffle_partitions: int | None = None,
         )
         # executors are separate JVMs with their own python workers: ship
         # the package exactly as a real cluster run would (--py-files)
-        zip_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "dist", "pq_spark.zip")
-        if not os.path.exists(zip_path):
+        root = os.path.dirname(os.path.abspath(__file__))
+        zip_path = os.path.join(root, "dist", "pq_spark.zip")
+        # rebuild when ANY source is newer — a stale zip silently ships old
+        # Python modules to the executor workers
+        src_mtime = max(
+            os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(os.path.join(root, "pq_spark"))
+            for f in fs if f.endswith(".py")
+        )
+        if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
             subprocess.run(
-                [os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "scripts", "build_pyfiles.sh")],
+                [os.path.join(root, "scripts", "build_pyfiles.sh")],
                 check=True, capture_output=True,
             )
         builder = (

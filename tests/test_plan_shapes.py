@@ -61,3 +61,42 @@ def test_no_sort_aggregate_and_narrow_exchanges(spark, name):
             ):
                 bad.append(blk[:200])
     assert not bad, f"{name}: wide fact exchange\n" + "\n".join(bad)
+
+
+def test_matcher_pushdown_reaches_scan(spark):
+    """Label matchers filter the _lbl_* passthrough columns, so Catalyst
+    pushes them into the parquet scan (PLANS.md §1) — partition pruning on
+    a real partitioned table."""
+    from pq_spark.driver_queries import _cells
+
+    df = _cells(spark, SF_DIR, 'value{et="click"}', 60_000, ("et", "ub"))
+    plan = _formatted_plan(spark, df)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(event_type,click\)", plan), plan
+
+
+def test_single_metric_scan_prunes_branches(spark):
+    """Metric-branch pruning (PLANS.md §1): a single-metric selector leaves
+    no Union and no Generate in the plan, and reads only that metric's
+    column."""
+    from pyspark.sql import functions as F
+
+    from pq_spark.engine.ingest import samples_from_table
+    from pq_spark.engine.runner import PqEngine
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = ev.select(
+        F.col("event_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("event_type").alias("et"),
+        F.col("value"),
+        (F.col("value") * 2).alias("value2"),
+    )
+    samples = samples_from_table(
+        src, "ts_ms", ["value", "value2"], ["et"], seq_col="event_id", ts_unit="ms"
+    )
+    vf = PqEngine(spark, strict=False).evaluate("value", samples, interval_ms=60_000)
+    plan = _formatted_plan(spark, vf.cells)
+    assert "Union" not in plan
+    assert not re.search(r"^\(\d+\) Generate Explode\(stack", plan, re.M)
+    for m in re.finditer(r"ReadSchema: (\S+)", plan):
+        assert "value2" not in m.group(1), m.group(1)

@@ -179,16 +179,25 @@ def near_dup_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (j >= threshold).
 
     Pair generation joins on shared shingles, so cost is bounded by shingle
-    co-occurrence, not |docs|²; still quadratic in the worst case — at scale
-    run it only WITHIN minhash_lsh_pairs candidates."""
+    co-occurrence, not |docs|². ``max_doc_freq`` excludes shingles appearing
+    in more than that many docs from the INTERSECTION count (stop-shingles
+    like boilerplate phrases are the quadratic hot keys and carry no
+    discriminative signal); per-doc sizes still count every shingle, so the
+    reported score is a LOWER BOUND on exact Jaccard — boilerplate-only
+    "matches" drop out, genuinely-similar pairs keep (almost) their exact
+    score. For fully-exact scores at scale compose LSH candidates with
+    exact verification instead (``near_dup_pairs``)."""
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    if max_doc_freq is not None:
+        sh = _cap_buckets(sh, "sh", max_doc_freq)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -103,3 +103,16 @@ def test_ann_ivf_recall(spark):
         for r in textops.ann_topk_ivf(emb, q, k=10, n_centroids=16, nprobe=4).collect()
     }
     assert len(exact & ivf) / 10 >= 0.8
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """max_doc_freq drops boilerplate stop-shingles from pair generation:
+    the 4000-identical-doc bucket can't go quadratic, boilerplate-only
+    pairs disappear, and genuinely similar distinct docs still pair."""
+    docs = _degenerate_docs(spark)
+    pairs = textops.ngram_jaccard_pairs(
+        docs, threshold=0.3, max_doc_freq=100
+    ).collect()
+    ids = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+    assert all(i >= 4000 for i in ids), "boilerplate pairs leaked"
+    assert len(pairs) > 0, "similar distinct docs must still pair"

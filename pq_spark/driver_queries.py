@@ -866,6 +866,120 @@ register(
 )
 
 
+register(
+    "pq_min_over_time",
+    lambda spark, sf: _cells(spark, sf, "min_over_time(value[5m])", MIN_MS,
+                             ("et", "ub"), "min_win"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, _W5)}, {_window_cte(_W5)} "
+    "SELECT instant, et, ub, min(value) AS min_win FROM win GROUP BY instant, et, ub",
+)
+
+register(
+    "pq_max_over_time",
+    lambda spark, sf: _cells(spark, sf, "max_over_time(value[5m])", MIN_MS,
+                             ("et", "ub"), "max_win"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, _W5)}, {_window_cte(_W5)} "
+    "SELECT instant, et, ub, max(value) AS max_win FROM win GROUP BY instant, et, ub",
+)
+
+register(
+    "pq_bottomk2_by_et",
+    lambda spark, sf: _cells(spark, sf, "bottomk by (et) (2, value)", MIN_MS,
+                             ("et", "ub"), "value"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, ub, value FROM ("
+    "  SELECT instant, et, ub, value,"
+    "         row_number() OVER (PARTITION BY instant, et"
+    "                            ORDER BY value ASC, et, ub) AS rn"
+    "  FROM latest) WHERE rn <= 2",
+)
+
+register(
+    "pq_stdvar_by_et",
+    lambda spark, sf: _cells(spark, sf, "stdvar by (et) (value)", MIN_MS,
+                             ("et",), "sv", round6=True),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, round(var_pop(value), 6) AS sv "
+    "FROM latest GROUP BY instant, et",
+)
+
+register(
+    # count_values: parse-only-and-UNPARSEABLE in the reference (its alt()
+    # tries "count" first — same grammar bug as avg_over_time); extension
+    # implements Prometheus semantics. The value-label string replicates
+    # Java DecimalFormat '0.######' (no trailing zeros).
+    "pq_count_values",
+    lambda spark, sf: _cells(spark, sf, 'count_values by (et) ("vstr", value)',
+                             MIN_MS, ("et", "vstr"), "n"),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et,"
+    "       rtrim(rtrim(format('{:.6f}', value), '0'), '.') AS vstr,"
+    "       CAST(count(*) AS DOUBLE) AS n "
+    "FROM latest GROUP BY 1, 2, 3",
+)
+
+_DELTA_AGG = (
+    "  SELECT instant, et, ub,"
+    "         min(ts_ms) AS ft, max(ts_ms) AS lt, count(*) AS n,"
+    "         arg_min(value, ts_ms * 1000000 + event_id) AS fv,"
+    "         arg_max(value, ts_ms * 1000000 + event_id) AS lv"
+    "  FROM win GROUP BY instant, et, ub"
+)
+
+register(
+    "pq_increase_1h",
+    lambda spark, sf: _cells(spark, sf, "increase(value[1h])", _I10,
+                             ("et", "ub"), "inc", round6=True),
+    f"WITH {_S_CTE}, {_grid_cte(_I10, _W1H)}, {_window_cte(_W1H)} "
+    f"SELECT instant, et, ub, round(lv - fv, 6) AS inc FROM ({_DELTA_AGG}) WHERE n >= 2",
+)
+
+register(
+    "pq_delta_1h",
+    lambda spark, sf: _cells(spark, sf, "delta(value[1h])", _I10,
+                             ("et", "ub"), "dlt", round6=True),
+    f"WITH {_S_CTE}, {_grid_cte(_I10, _W1H)}, {_window_cte(_W1H)} "
+    f"SELECT instant, et, ub, round(lv - fv, 6) AS dlt FROM ({_DELTA_AGG}) WHERE n >= 2",
+)
+
+_LAST2_AGG = (
+    "  SELECT instant, et, ub, count(*) AS n,"
+    "         max(CASE WHEN rn = 1 THEN value END) AS v1,"
+    "         max(CASE WHEN rn = 2 THEN value END) AS v2,"
+    "         max(CASE WHEN rn = 1 THEN ts_ms END) AS t1,"
+    "         max(CASE WHEN rn = 2 THEN ts_ms END) AS t2"
+    "  FROM (SELECT instant, et, ub, value, ts_ms,"
+    "               row_number() OVER (PARTITION BY instant, et, ub"
+    "                                  ORDER BY ts_ms DESC, event_id DESC) AS rn"
+    "        FROM win)"
+    "  GROUP BY instant, et, ub"
+)
+
+register(
+    "pq_idelta_1h",
+    lambda spark, sf: _cells(spark, sf, "idelta(value[1h])", _I10,
+                             ("et", "ub"), "idlt", round6=True),
+    f"WITH {_S_CTE}, {_grid_cte(_I10, _W1H)}, {_window_cte(_W1H)} "
+    f"SELECT instant, et, ub, round(v1 - v2, 6) AS idlt FROM ({_LAST2_AGG}) WHERE n >= 2",
+)
+
+
+def _irate_q(spark, sf):
+    # windows whose last two points share a millisecond yield a NULL rate
+    # (non-ANSI /0) — excluded on both sides so the parity is well-defined
+    df = _cells(spark, sf, "irate(value[1h])", _I10, ("et", "ub"), "ir", round6=True)
+    return df.filter(F.col("ir").isNotNull())
+
+
+register(
+    "pq_irate_1h",
+    _irate_q,
+    f"WITH {_S_CTE}, {_grid_cte(_I10, _W1H)}, {_window_cte(_W1H)} "
+    "SELECT instant, et, ub, round((v1 - v2) / ((t1 - t2) / 1000.0), 6) AS ir "
+    f"FROM ({_LAST2_AGG}) WHERE n >= 2 AND t1 <> t2",
+)
+
+
 # -- extension operators (reference parses these but panics; ours implement
 #    Prometheus semantics behind extensions=True) — each with an oracle -------
 

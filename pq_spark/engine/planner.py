@@ -511,11 +511,19 @@ class Planner:
             base = inner.cells.withColumn(
                 "_glabels", group_labels_expr(F.col("labels"), node.modifier)
             )
+            # DecimalFormat-'0.######' rendering (6 dp, no trailing zeros)
+            vstr = F.regexp_replace(
+                F.regexp_replace(
+                    F.format_string("%.6f", F.col("value")), r"0+$", ""
+                ),
+                r"\.$",
+                "",
+            )
             base = base.withColumn(
                 "_glabels",
                 F.map_concat(
                     F.col("_glabels"),
-                    F.create_map(F.lit(lbl), F.format_number(F.col("value"), "0.######")),
+                    F.create_map(F.lit(lbl), vstr),
                 ),
             ).withColumn("_gsig", sig_expr(F.col("_glabels")))
             agg = base.groupBy("instant", "_gsig").agg(

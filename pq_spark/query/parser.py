@@ -56,8 +56,13 @@ _BINARY_OPS = [  # alternation order from expr.rs:127-145
     "and", "unless", "or",
 ]
 
-_AGGREGATE_OPS = [  # alternation order from expr.rs:293-309
-    "avg", "bottomk", "count", "count_values", "group", "max", "min",
+_AGGREGATE_OPS = [  # from expr.rs:293-309, with count_values hoisted:
+    # the reference's alt() tries "count" first, so `count_values(...)`
+    # can NEVER parse there (the tag match strands "_values" and the parse
+    # hard-fails) — the same class of grammar bug as avg_over_time, fixed
+    # the same way (longest-prefix first); programs it affects are hard
+    # errors in the reference, so no parseable program changes meaning
+    "avg", "bottomk", "count_values", "count", "group", "max", "min",
     "quantile", "stddev", "stdvar", "sum", "topk",
 ]
 

@@ -381,6 +381,18 @@ class Planner:
         )
         self.ctx.persisted.append(sel_dim)
 
+        # strategy switch: the serving-instant explode multiplies rows by
+        # ceil(lookback/interval) pre-shuffle — above FANOUT_SWITCH the
+        # skeleton/window plan is cheaper (see _instant_window_strategy)
+        if (
+            sel.duration_ms is None
+            and math.ceil(lookback / interval) > self.FANOUT_SWITCH
+        ):
+            facts = self._instant_window_strategy(
+                matched, grid, sel_dim, interval, lookback
+            )
+            return VectorFrame(grid, facts, sel_dim)
+
         j = matched.crossJoin(F.broadcast(params.filter(F.col("_kend").isNotNull())))
         k0 = F.greatest(F.lit(0).cast("long"), _ceildiv(F.col("ts") - F.col("_t0"), interval))
         k1 = F.least(
@@ -423,6 +435,63 @@ class Planner:
             return VectorFrame(grid, facts, sel_dim)
 
         return RangeFrame(grid, served, sel_dim)
+
+    # explode fan-out above this, the skeleton/window strategy wins: the
+    # explode multiplies every sample by ceil(lookback/interval) rows BEFORE
+    # the shuffle, while the window plan moves samples + (series × instants)
+    # rows exactly once
+    FANOUT_SWITCH = 16
+
+    def _instant_window_strategy(
+        self, matched: DataFrame, grid: DataFrame,
+        sel_dim: DataFrame, interval: int, lookback: int,
+    ) -> DataFrame:
+        """High-fanout instant vectors (lookback ≫ interval): union the
+        samples with a (series × grid-instant) skeleton, carry the latest
+        sample per series with a last-value window, keep skeleton rows
+        whose source sample is still fresh. One shuffle keyed by skey; the
+        per-series sort replaces the explode's ceil(lookback/interval)×
+        row multiplication. Trade-off (PLANS.md §2): partitioning is by
+        series alone, so a single pathologically hot series serializes on
+        one task — acceptable where this path triggers (dashboards with
+        long staleness over fine grids), and the default explode path
+        remains skew-proof."""
+        from pyspark.sql import Window
+
+        pts = matched.select(
+            F.xxhash64(sig_expr(F.col("labels"))).alias("skey"),
+            "ts",
+            F.pmod(F.col("seq"), F.lit(1 << 21)).alias("_seq"),
+            "value",
+            F.lit(0).alias("_isinst"),
+        )
+        skeleton = grid.crossJoin(F.broadcast(sel_dim.select("skey"))).select(
+            "skey",
+            F.col("instant").alias("ts"),
+            F.lit(None).cast("long").alias("_seq"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("_isinst"),
+        )
+        w = (
+            Window.partitionBy("skey")
+            .orderBy("ts", "_isinst", "_seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        unioned = pts.unionByName(skeleton)
+        carried = unioned.select(
+            "skey",
+            "ts",
+            "_isinst",
+            F.last("value", ignorenulls=True).over(w).alias("_lv"),
+            F.last(
+                F.when(F.col("_isinst") == 0, F.col("ts")), ignorenulls=True
+            ).over(w).alias("_lts"),
+        )
+        return carried.filter(
+            (F.col("_isinst") == 1)
+            & F.col("_lts").isNotNull()
+            & (F.col("_lts") > F.col("ts") - F.lit(lookback))
+        ).select(F.col("ts").alias("instant"), "skey", F.col("_lv").alias("value"))
 
     # -- unary -----------------------------------------------------------------
 

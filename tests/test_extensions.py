@@ -135,3 +135,47 @@ def test_vector_requires_extensions(spark):
         assert False, "expected PqError"
     except PqError as e:
         assert "not implemented" in str(e)
+
+
+def test_high_fanout_window_strategy_equivalence(spark):
+    """lookback >> interval triggers the skeleton/window plan; its output
+    must equal the serving-instant explode's exactly (incl. same-ms seq
+    tie-breaks and staleness cut-offs)."""
+    from pq_spark.engine.planner import Planner
+    from pq_spark.engine.runner import PqEngine
+
+    rows = []
+    # series a: two samples same ms (seq tie-break), then a long gap
+    rows += [(1, 1_000, {"__name__": "v", "k": "a"}, "v", 1.0),
+             (2, 1_000, {"__name__": "v", "k": "a"}, "v", 2.0),
+             (3, 250_000, {"__name__": "v", "k": "a"}, "v", 3.0)]
+    # series b: sparse
+    rows += [(4, 30_000, {"__name__": "v", "k": "b"}, "v", 7.0)]
+    samples = spark.createDataFrame(
+        rows, "seq long, ts long, labels map<string,string>, name string, value double"
+    )
+    eng = PqEngine(spark, strict=False)
+
+    def run():
+        vf = eng.evaluate("v", samples, interval_ms=1_000, lookback_ms=60_000)
+        return sorted(
+            (r["instant"], r["sig"], r["value"])
+            for r in vf.cells.collect()
+        )
+
+    assert 60_000 // 1_000 > Planner.FANOUT_SWITCH
+    window_out = run()
+    old = Planner.FANOUT_SWITCH
+    try:
+        Planner.FANOUT_SWITCH = 10_000  # force the explode path
+        explode_out = run()
+    finally:
+        Planner.FANOUT_SWITCH = old
+    assert window_out == explode_out
+    assert len(window_out) > 0
+    # spot semantics: at instant 1999 series a carries value 2.0 (seq 2
+    # wins the same-ms tie); staleness drops a after 1000+60000
+    d = {(i, s): v for i, s, v in window_out}
+    a_sig = [s for i, s, v in window_out if v == 2.0][0]
+    assert d[(1_999, a_sig)] == 2.0
+    assert (61_999, a_sig) not in d

@@ -342,16 +342,11 @@ class Planner:
         )
         return params, grid
 
-    def _plan_selector(self, sel: VectorSelector):
-        ctx = self.ctx
-        interval = ctx.interval_ms
-        # a range selector's duration overrides the lookback (vector.rs:29-32)
-        lookback = sel.duration_ms if sel.duration_ms is not None else ctx.lookback_ms
-
-        matched = ctx.samples
+    def _selector_parts(self, sel: VectorSelector, lookback: int):
+        """Shared selector prep: matcher filters, grid params, series dim."""
+        matched = self.ctx.samples
         for m in sel.matchers:
             matched = matched.filter(self._matcher_filter(m))
-
         params, grid = self._grid_params(matched, lookback)
 
         # star schema: fact rows carry only the 64-bit skey; the label map
@@ -380,6 +375,14 @@ class Planner:
             .persist()
         )
         self.ctx.persisted.append(sel_dim)
+        return matched, params, grid, sel_dim
+
+    def _plan_selector(self, sel: VectorSelector):
+        ctx = self.ctx
+        interval = ctx.interval_ms
+        # a range selector's duration overrides the lookback (vector.rs:29-32)
+        lookback = sel.duration_ms if sel.duration_ms is not None else ctx.lookback_ms
+        matched, params, grid, sel_dim = self._selector_parts(sel, lookback)
 
         # strategy switch: the serving-instant explode multiplies rows by
         # ceil(lookback/interval) pre-shuffle — above FANOUT_SWITCH the
@@ -670,7 +673,18 @@ class Planner:
     def _plan_function(self, node: FunctionCall):
         name = node.name
         if name in AGG_OVER_TIME_FUNCS:
-            arg = self.plan(node.args[0])
+            argnode = node.args[0]
+            if (
+                isinstance(argnode, VectorSelector)
+                and argnode.duration_ms is not None
+                and math.ceil(argnode.duration_ms / self.ctx.interval_ms)
+                > self.FANOUT_SWITCH
+            ):
+                # high window/interval ratio: fuse selector+function into a
+                # sliding-window plan instead of materializing each point
+                # ceil(range/interval) times (see _over_time_fused)
+                return self._over_time_fused(name, argnode)
+            arg = self.plan(argnode)
             if not isinstance(arg, RangeFrame):
                 raise PqError(f"{name} expects a range vector")
             return self._over_time(name, arg)
@@ -750,6 +764,67 @@ class Planner:
 
         facts = g.agg(val.alias("value"))
         return VectorFrame(rf.grid, facts, self._dropname_dim(rf.dim), rf.checks)
+
+    def _over_time_fused(self, name: str, sel: VectorSelector) -> VectorFrame:
+        """High-fanout over-time functions (range ≫ interval): instead of
+        exploding every sample into ceil(range/interval) window copies,
+        union the samples with a (series × grid-instant) skeleton and
+        compute the function as a per-series SLIDING RANGE window — each
+        sample is moved exactly once. Same trade-off as
+        ``_instant_window_strategy``: partitioned by series alone, so the
+        default explode path (skew-proof, fan-out ≤ FANOUT_SWITCH) remains
+        the common case. Equivalence incl. the last_over_time oldest-point
+        quirk is pinned by a force-both-paths test."""
+        from pyspark.sql import Window
+
+        lookback = sel.duration_ms
+        matched, params, grid, sel_dim = self._selector_parts(sel, lookback)
+        okey = (
+            F.col("ts") * F.lit(1 << 21) + F.pmod(F.col("seq"), F.lit(1 << 21))
+        )
+        pts = matched.select(
+            F.xxhash64(sig_expr(F.col("labels"))).alias("skey"),
+            "ts",
+            okey.alias("_okey"),
+            "value",
+        )
+        skeleton = grid.crossJoin(F.broadcast(sel_dim.select("skey"))).select(
+            "skey",
+            F.col("instant").alias("ts"),
+            F.lit(None).cast("long").alias("_okey"),
+            F.lit(None).cast("double").alias("value"),
+        )
+        w = (
+            Window.partitionBy("skey")
+            .orderBy("ts")
+            .rangeBetween(-(lookback - 1), 0)
+        )
+        if name == "count_over_time":
+            val = F.count("value").over(w).cast("double")
+        elif name == "sum_over_time":
+            val = F.sum("value").over(w)
+        elif name == "min_over_time":
+            val = F.min("value").over(w)
+        elif name == "max_over_time":
+            val = F.max("value").over(w)
+        elif name == "avg_over_time":
+            val = F.sum("value").over(w) / F.count("value").over(w)
+        elif name == "last_over_time":
+            # OLDEST point (reference quirk); min_by ignores the skeleton
+            # rows' null ordering keys
+            val = F.min_by("value", "_okey").over(w)
+        else:  # pragma: no cover
+            raise PqError(f"unknown over-time function {name}")
+
+        carried = (
+            pts.unionByName(skeleton.withColumn("_isinst", F.lit(1)), allowMissingColumns=True)
+            .withColumn("_val", val)
+            .withColumn("_n", F.count("value").over(w))
+        )
+        facts = carried.filter(
+            (F.col("_isinst") == 1) & (F.col("_n") >= 1)
+        ).select(F.col("ts").alias("instant"), "skey", F.col("_val").alias("value"))
+        return VectorFrame(grid, facts, self._dropname_dim(sel_dim))
 
     def _rate_family(self, name: str, rf: RangeFrame) -> VectorFrame:
         """Extension (NOT in the reference engine): PromQL-style rate family

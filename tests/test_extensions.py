@@ -179,3 +179,43 @@ def test_high_fanout_window_strategy_equivalence(spark):
     a_sig = [s for i, s, v in window_out if v == 2.0][0]
     assert d[(1_999, a_sig)] == 2.0
     assert (61_999, a_sig) not in d
+
+
+def test_high_fanout_over_time_fused_equivalence(spark):
+    """range >> interval triggers the fused sliding-window over-time plan;
+    output must equal the explode path's exactly for every function, incl.
+    the last_over_time oldest-point quirk with same-ms seq ties."""
+    from pq_spark.engine.planner import Planner
+    from pq_spark.engine.runner import PqEngine
+
+    rows = [
+        (1, 1_000, {"__name__": "v", "k": "a"}, "v", 1.0),
+        (2, 1_000, {"__name__": "v", "k": "a"}, "v", 2.0),
+        (3, 45_000, {"__name__": "v", "k": "a"}, "v", 4.0),
+        (4, 250_000, {"__name__": "v", "k": "a"}, "v", 8.0),
+        (5, 30_000, {"__name__": "v", "k": "b"}, "v", 16.0),
+    ]
+    samples = spark.createDataFrame(
+        rows, "seq long, ts long, labels map<string,string>, name string, value double"
+    )
+    eng = PqEngine(spark, strict=False)
+
+    for fn in ["count_over_time", "sum_over_time", "min_over_time",
+               "max_over_time", "avg_over_time", "last_over_time"]:
+        q = f"{fn}(v[60s])"
+
+        def run():
+            vf = eng.evaluate(q, samples, interval_ms=1_000)
+            return sorted(
+                (r["instant"], r["sig"], r["value"]) for r in vf.cells.collect()
+            )
+
+        assert 60 > Planner.FANOUT_SWITCH
+        fused = run()
+        old = Planner.FANOUT_SWITCH
+        try:
+            Planner.FANOUT_SWITCH = 10_000  # force the explode path
+            exploded = run()
+        finally:
+            Planner.FANOUT_SWITCH = old
+        assert fused == exploded and len(fused) > 0, fn

@@ -100,3 +100,22 @@ def test_single_metric_scan_prunes_branches(spark):
     assert not re.search(r"^\(\d+\) Generate Explode\(stack", plan, re.M)
     for m in re.finditer(r"ReadSchema: (\S+)", plan):
         assert "value2" not in m.group(1), m.group(1)
+
+
+def test_high_fanout_plans_avoid_explode(spark):
+    """Above the fan-out switch, instant and over-time plans must contain
+    no serving-instant Generate over a k0..k1 sequence (the row
+    multiplication the adaptive strategies exist to avoid) — they run as
+    per-series window plans instead."""
+    from pq_spark.driver_queries import event_samples
+    from pq_spark.engine.runner import PqEngine
+
+    samples = event_samples(spark, SF_DIR)
+    eng = PqEngine(spark, strict=False)
+    # ratio 60 > 16 for both: lookback 1h @ 1m grid / range 1h @ 1m grid
+    for q, kw in [("value", dict(interval_ms=60_000, lookback_ms=3_600_000)),
+                  ("sum_over_time(value[1h])", dict(interval_ms=60_000))]:
+        vf = eng.evaluate(q, samples, since_ms=1_704_067_200_000, **kw)
+        plan = _formatted_plan(spark, vf.cells)
+        assert not re.search(r"^\(\d+\) Generate explode\(sequence\(_k0", plan, re.M), (q, plan)
+        assert "Window" in plan, q

@@ -404,7 +404,10 @@ class Planner:
         )
         # packed (ts, seq) ordering key keeps the gap-fill agg in
         # HashAggregate (struct keys force SortAggregate); ties only wrap at
-        # seq deltas of 2^21 within one millisecond of one series
+        # seq deltas of 2^21 within one millisecond of one series, and the
+        # ts*2^21 product wraps int64 at ts >= 2^42 ms (~year 2109) — both
+        # out of contract for log timestamps (same envelope as the
+        # reference's i64-ms model; see COVERAGE.md)
         okey = (F.col("ts") * F.lit(1 << 21) + F.pmod(F.col("seq"), F.lit(1 << 21))).alias("_okey")
         served = (
             j.withColumn("_k0", k0)
@@ -538,14 +541,17 @@ class Planner:
             .withColumn("_gkey", F.xxhash64("_gsig"))
         )
 
-        # sig-order quirks (count/group seeding, topk tie-breaks) need the
-        # within-group series order; rank it ONCE on the dim (a dim-sized
-        # window partitioned by group) so fact-side aggregations order by a
-        # LONG — no strings in the fact shuffle, min_by stays HashAggregate
+        # iteration-order quirks (count/group seeding, topk tie-breaks)
+        # follow the INPUT vector's emission order — the dim's 'ord' column
+        # (selector: sig; topk output: gsig\x7fsig; binary output: lhs ord;
+        # aggregate.rs:44-66 seeds from the first sample in that order).
+        # Rank it ONCE on the dim (a dim-sized window partitioned by group)
+        # so fact-side aggregations order by a LONG — no strings in the
+        # fact shuffle, min_by stays HashAggregate
         def _with_ordn(gm: DataFrame) -> DataFrame:
             from pyspark.sql import Window
 
-            w = Window.partitionBy("_gkey").orderBy("sig")
+            w = Window.partitionBy("_gkey").orderBy("ord")
             return gm.withColumn("_ordn", F.row_number().over(w))
 
         if op in ("topk", "bottomk"):
@@ -583,7 +589,11 @@ class Planner:
             base = inner.cells.withColumn(
                 "_glabels", group_labels_expr(F.col("labels"), node.modifier)
             )
-            # DecimalFormat-'0.######' rendering (6 dp, no trailing zeros)
+            # 6 dp, trailing zeros trimmed. %.6f rounds HALF_UP
+            # (java.util.Formatter) — exact .0000005 ties at the 7th digit
+            # are out of contract (the DuckDB oracle's fmt-based format()
+            # rounds half-even; no representable double that our pipelines
+            # produce lands exactly on such a tie)
             vstr = F.regexp_replace(
                 F.regexp_replace(
                     F.format_string("%.6f", F.col("value")), r"0+$", ""
@@ -1150,6 +1160,12 @@ class Planner:
                 joined = joined.filter(pred).withColumn("_value", l)
         else:
             joined = joined.withColumn("_value", _binop_col(node.op, l, r))
+
+        # joined feeds BOTH the facts and the pair dim below — persist so
+        # the fact-scale join runs once (unpersisted by the runner with the
+        # selector dims)
+        joined = joined.persist()
+        self.ctx.persisted.append(joined)
 
         pkey = F.xxhash64("_mskey", "_oskey")
         facts = joined.select(

@@ -104,8 +104,11 @@ class ProgramResult:
                     return fmt.records_human_lines(self.records, verbose)
             raise PqError(f"unsupported formatter for {self.kind} output")
         finally:
+            # unpersist once, then forget — a second output_lines() (or an
+            # error_lines() after) recomputes but must not double-unpersist
             for df in self._cached or []:
                 df.unpersist()
+            self._cached = []
 
     def dataframe(self) -> DataFrame:
         """Relational access to the result (engine-level API)."""

@@ -217,6 +217,12 @@ def kernel_bench(executors: int, n_pages: int) -> dict:
             series_dim, series_key, tier_from_tier, tier_partials,
         )
 
+        # at sandbox scale the whole fact table is a few dozen MB — the
+        # 128 MB default packs the scan into ~3 splits, starving the map
+        # side of a 4-executor run. 16 MB reproduces the file-to-core ratio
+        # a real cluster has at 100 TB (where 128 MB is the right value).
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1m")
         tmp = tempfile.mkdtemp(prefix="pq_kernel_", dir=_scratch_base())
         pages = synth_pages(spark, n_pages, partitions=16)
         sw = page_samples(pages)
@@ -226,17 +232,43 @@ def kernel_bench(executors: int, n_pages: int) -> dict:
         series_dim(sw).write.parquet(tmp + "/dim")
         fact = spark.read.parquet(tmp + "/fact")
         dim = spark.read.parquet(tmp + "/dim")
-        tier_partials(fact.limit(1000), "1m", dim=dim).count()  # codegen warmup
 
-        t0 = time.time()
-        p1m = tier_partials(fact, "1m", dim=dim).persist()
-        n1m = p1m.count()
-        p1h = tier_from_tier(p1m, "1h").persist()
-        n1h = p1h.count()
-        n1d = tier_from_tier(p1h, "1d").count()
-        blocks = gorilla.pack_blocks(fact, block_ms=6 * 3_600_000, dim=dim).count()
-        dt = time.time() - t0
-        pts = n1m + n1h + n1d
+        def cascade():
+            p1m = tier_partials(fact, "1m", dim=dim).persist()
+            n1m = p1m.count()
+            p1h = tier_from_tier(p1m, "1h").persist()
+            n1h = p1h.count()
+            n1d = tier_from_tier(p1h, "1d").count()
+            blocks = gorilla.pack_blocks(
+                fact, block_ms=6 * 3_600_000, dim=dim
+            ).count()
+            p1m.unpersist()
+            p1h.unpersist()
+            return n1m + n1h + n1d, blocks
+
+        # warm the FULL path (1m + 1h + 1d + Gorilla codegen all compile
+        # here, not inside the timed region — a long-running cluster job
+        # pays codegen once per stage shape, not once per batch)
+        sample = fact.limit(2000).persist()
+        sample.count()
+        p1m_w = tier_partials(sample, "1m", dim=dim).persist()
+        p1m_w.count()
+        p1h_w = tier_from_tier(p1m_w, "1h").persist()
+        p1h_w.count()
+        tier_from_tier(p1h_w, "1d").count()
+        gorilla.pack_blocks(sample, block_ms=6 * 3_600_000, dim=dim).count()
+        for df in (sample, p1m_w, p1h_w):
+            df.unpersist()
+
+        # median-of-3 timed reps: one scheduling hiccup must not set the
+        # scaling-efficiency number
+        reps = []
+        pts = blocks = 0
+        for _ in range(3):
+            t0 = time.time()
+            pts, blocks = cascade()
+            reps.append(time.time() - t0)
+        dt = _median(reps)
         shutil.rmtree(tmp, ignore_errors=True)
         return {
             "executors": executors,
@@ -244,6 +276,7 @@ def kernel_bench(executors: int, n_pages: int) -> dict:
             "rolled_up_points": pts,
             "gorilla_blocks": blocks,
             "kernel_elapsed_s": round(dt, 3),
+            "kernel_reps_s": [round(r, 3) for r in reps],
             "points_per_sec": round(pts / dt, 1),
         }
     finally:

@@ -423,6 +423,55 @@ FROM t GROUP BY bucket_ts, et"""
 
 register("pq_sum_by_et_over_tier_1m", _sum_over_tier, _SUM_OVER_TIER_SQL)
 
+
+def _over_time_over_tier(spark, sf):
+    """All *_over_time functions served FROM 1m-tier partials at a 5m
+    range (the north rule's serving pattern): count/sum/min/max merge
+    losslessly across the 5 contributing buckets, and pq's oldest-point
+    last_over_time quirk is the first_val of the earliest bucket. The
+    oracle below computes the same windows from RAW events — it checks
+    tier construction AND window serving end-to-end."""
+    from .rollup.tiers import over_time_from_tier
+
+    tier = rollup_tier(event_samples(spark, sf), "1m")
+    w = over_time_from_tier(tier, MIN_MS, 5 * MIN_MS)
+    return w.select(
+        (F.col("bucket_ts") + F.lit(MIN_MS - 1)).alias("instant"),
+        F.col("labels").getItem("et").alias("et"),
+        F.col("labels").getItem("ub").alias("ub"),
+        F.col("cnt").cast("double").alias("points"),
+        F.round(F.col("sum"), 6).alias("sum_win"),
+        F.col("min").alias("min_win"),
+        F.col("max").alias("max_win"),
+        F.col("oldest_val").alias("last_win"),  # pq last_over_time quirk
+    )
+
+
+# raw-side oracle: each sample falls in the 5 windows ending at buckets
+# b .. b+4 (window (i−5m, i] at i = wend + 1m − 1 covers exactly buckets
+# wend−4m .. wend) — no tier partials involved, so the comparison proves
+# the tier-serving path equals raw-window semantics
+_OVER_TIME_OVER_TIER_SQL = f"""WITH {_S_CTE},
+srv AS (
+  SELECT unnest(generate_series(
+           ts_ms - (ts_ms % {MIN_MS}),
+           ts_ms - (ts_ms % {MIN_MS}) + {4 * MIN_MS}, {MIN_MS})) AS wend,
+         et, ub, value, ts_ms, event_id
+  FROM s
+)
+SELECT wend + {MIN_MS - 1} AS instant, et, ub,
+       CAST(count(*) AS DOUBLE) AS points,
+       round(sum(value), 6) AS sum_win,
+       min(value) AS min_win,
+       max(value) AS max_win,
+       arg_min(value, ts_ms * 1000000 + event_id) AS last_win
+FROM srv GROUP BY wend, et, ub"""
+
+register(
+    "pq_sum_over_time_over_tier_1m", _over_time_over_tier,
+    _OVER_TIME_OVER_TIER_SQL,
+)
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -1188,6 +1237,7 @@ WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.3""",
 # ---------------------------------------------------------------------------
 
 _DEFERRED = [
+    "pq_avg_over_time",  # family: *_over_time means — sum+count stay
     "pq_sum",            # family: sum — pq_sum_by_et stays up front
     "pq_min_by_et",      # family: min/max — pq_max_by_et stays
     "pq_max_over_time",  # family: *_over_time extremes — pq_min_over_time stays

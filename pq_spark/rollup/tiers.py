@@ -54,10 +54,29 @@ def series_key(sig: Column) -> Column:
 def series_dim(samples: DataFrame, check_collisions: bool = False) -> DataFrame:
     """The tiny series dimension (skey → sig, name, labels). Fact rows carry
     only the 64-bit skey; label maps and signature strings never enter the
-    big shuffles (star schema)."""
-    dim = samples.groupBy(sig_expr(F.col("labels")).alias("sig")).agg(
-        F.first("name").alias("name"), F.first("labels").alias("labels")
-    ).select(series_key(F.col("sig")).alias("skey"), "sig", "name", "labels")
+    big shuffles (star schema).
+
+    Discovery runs as a plain string-distinct (HashAggregate) over the
+    INVERTIBLE signature; the label map is rebuilt from the string on the
+    post-shuffle dim-sized rows. Grouping on the map (or carrying it
+    through first()) would force SortAggregate — a per-partition sort of
+    every fact row (the engine's planner uses the same trick)."""
+    from ..engine.planner import _PAIR_SEP, _labels_from_sig2, _sig2_expr
+    from ..engine.ingest import NAME_LABEL
+
+    sig2 = samples.select(_sig2_expr(F.col("labels")).alias("_sig2")).distinct()
+    dim = (
+        sig2.select(
+            F.replace(F.col("_sig2"), F.lit(_PAIR_SEP), F.lit("")).alias("sig"),
+            _labels_from_sig2(F.col("_sig2")).alias("labels"),
+        )
+        .select(
+            series_key(F.col("sig")).alias("skey"),
+            "sig",
+            F.col("labels").getItem(NAME_LABEL).alias("name"),
+            "labels",
+        )
+    )
     if check_collisions:
         agg = dim.agg(
             F.count("*").alias("n"), F.countDistinct("skey").alias("d")
@@ -205,9 +224,30 @@ def merge_partials_narrow(partials: DataFrame) -> DataFrame:
     )
 
 
-def _merge_partials(partials: DataFrame) -> DataFrame:
-    """Exact merge of partial-aggregate rows sharing (bucket_ts, sig)."""
+def _series_dim_from_wide(tier: DataFrame) -> DataFrame:
+    """(sig → name, labels) mapping out of a wide tier — a string-distinct
+    HashAggregate over the invertible signature with the map rebuilt on
+    the dim-sized result (carrying the map through the aggregation would
+    force SortAggregate on every tier row)."""
+    from ..engine.ingest import NAME_LABEL
+    from ..engine.planner import _PAIR_SEP, _labels_from_sig2, _sig2_expr
+
     return (
+        tier.select(_sig2_expr(F.col("labels")).alias("_sig2"))
+        .distinct()
+        .select(
+            F.replace(F.col("_sig2"), F.lit(_PAIR_SEP), F.lit("")).alias("sig"),
+            _labels_from_sig2(F.col("_sig2")).alias("labels"),
+        )
+        .select("sig", F.col("labels").getItem(NAME_LABEL).alias("name"), "labels")
+    )
+
+
+def _merge_partials(partials: DataFrame) -> DataFrame:
+    """Exact merge of partial-aggregate rows sharing (bucket_ts, sig).
+    Numeric-only aggregation (HashAggregate) + a broadcast dim join for
+    the identity columns."""
+    merged = (
         partials.groupBy("bucket_ts", "sig")
         .agg(
             F.sum("cnt").alias("cnt"),
@@ -218,10 +258,11 @@ def _merge_partials(partials: DataFrame) -> DataFrame:
             F.min_by("first_val", "first_ts").alias("first_val"),
             F.max("last_ts").alias("last_ts"),
             F.max_by("last_val", "last_ts").alias("last_val"),
-            F.first("name").alias("name"),
-            F.first("labels").alias("labels"),
         )
-        .select("bucket_ts", "sig", "name", "labels", *PARTIAL_COLS)
+    )
+    dim = _series_dim_from_wide(partials)
+    return merged.join(F.broadcast(dim), "sig").select(
+        "bucket_ts", "sig", "name", "labels", *PARTIAL_COLS
     )
 
 
@@ -273,6 +314,74 @@ def samples_from_tier(
         "name",
         "labels",
         F.col(value_col).cast("double").alias("value"),
+    )
+
+
+def over_time_from_tier(
+    tier: DataFrame, tier_ms: int, range_ms: int
+) -> DataFrame:
+    """Serve pq's ``*_over_time(v[range])`` functions FROM a tier's
+    algebraic partials — exact, never touching raw data, when ``range`` is
+    a multiple of the tier width and the grid is bucket-aligned.
+
+    A pq range window at grid instant ``i = wend + B − 1`` covers
+    ``(i − range, i]`` = buckets ``wend − (r−1)·B … wend`` exactly
+    (``r = range/B``), so each tier bucket ``b`` contributes to the ``r``
+    window-ends ``b … b + (r−1)·B`` and every over-time function merges
+    partials losslessly:
+
+    - count_over_time = Σ cnt, sum_over_time = Σ sum,
+      min/max_over_time = min/max of mins/maxes, avg = Σsum/Σcnt
+    - last_over_time (pq's OLDEST-point quirk: the reference's windows
+      iterate newest→oldest and last wins, src/query/vector.rs — so it
+      returns the oldest point) = ``first_val`` of the EARLIEST
+      contributing bucket; ``newest_val`` (the Prometheus semantics) =
+      ``last_val`` of the latest bucket.
+
+    Scale shape: one serving-instant explode (fan-out r) + one hash
+    aggregation keyed by (window-end, series) — the same skew-proof plan
+    as the query planner's serving explode; serve from the deepest tier
+    dividing ``range`` so r stays small (e.g. 6 for [6h] over 1h).
+
+    Output (one row per window-end bucket × series with ≥1 point):
+    ``bucket_ts`` = window-END bucket (grid instant = bucket_ts + B − 1),
+    the input's identity columns (sig/name/labels or skey), and
+    cnt/sum/min/max/oldest_val/newest_val window aggregates.
+    """
+    if range_ms % tier_ms != 0 or range_ms <= 0:
+        raise ValueError("range must be a positive multiple of the tier width")
+    r = range_ms // tier_ms
+    narrow = "skey" in tier.columns
+    ident = "skey" if narrow else "sig"
+
+    served = tier.select(
+        ident,
+        F.col("bucket_ts").alias("_src"),
+        "cnt", "sum", "min", "max", "first_val", "last_val",
+        F.explode(
+            F.sequence(
+                F.col("bucket_ts"),
+                F.col("bucket_ts") + F.lit((r - 1) * tier_ms),
+                F.lit(tier_ms).cast("long"),
+            )
+        ).alias("_wend"),
+    )
+    # numeric-only aggregation keyed by (window-end, series key) stays in
+    # HashAggregate; identity columns rejoin from a broadcast dim below
+    agg = served.groupBy(F.col("_wend").alias("bucket_ts"), ident).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.min_by("first_val", "_src").alias("oldest_val"),
+        F.max_by("last_val", "_src").alias("newest_val"),
+    )
+    cols = ["cnt", "sum", "min", "max", "oldest_val", "newest_val"]
+    if narrow:
+        return agg.select("bucket_ts", ident, *cols)
+    dim = _series_dim_from_wide(tier)
+    return agg.join(F.broadcast(dim), "sig").select(
+        "bucket_ts", "sig", "name", "labels", *cols
     )
 
 
@@ -333,7 +442,7 @@ def gapfill(
     served = (
         tier_df.crossJoin(F.broadcast(bounds))
         .select(
-            "sig", "name", "labels", "bucket_ts",
+            "sig", "bucket_ts",
             F.col(value_col).alias("_v"),
             F.explode(
                 F.sequence(
@@ -344,16 +453,18 @@ def gapfill(
             ).alias("_serve"),
         )
     )
-    return (
+    # numeric-only carry aggregation (HashAggregate — carrying the label
+    # map through first() would SortAggregate every served row); identity
+    # columns rejoin from the broadcast-sized series dim
+    filled = (
         served.groupBy(F.col("_serve").alias("bucket_ts"), "sig")
         .agg(
             F.max_by("_v", "bucket_ts").alias("value"),
             F.max("bucket_ts").alias("_src"),
-            F.first("name").alias("name"),
-            F.first("labels").alias("labels"),
         )
-        .select(
-            "bucket_ts", "sig", "name", "labels", "value",
-            (F.col("_src") != F.col("bucket_ts")).alias("filled"),
-        )
+    )
+    dim = _series_dim_from_wide(tier_df)
+    return filled.join(F.broadcast(dim), "sig").select(
+        "bucket_ts", "sig", "name", "labels", "value",
+        (F.col("_src") != F.col("bucket_ts")).alias("filled"),
     )

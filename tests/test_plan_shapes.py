@@ -119,3 +119,25 @@ def test_high_fanout_plans_avoid_explode(spark):
         plan = _formatted_plan(spark, vf.cells)
         assert not re.search(r"^\(\d+\) Generate explode\(sequence\(_k0", plan, re.M), (q, plan)
         assert "Window" in plan, q
+
+
+TIER_FAMILY = [
+    "tier_1m",
+    "tier_1d_cascade",
+    "gapfill_1m_day1",
+    "pq_sum_by_et_over_tier_1m",
+    "pq_sum_over_time_over_tier_1m",
+]
+
+
+@pytest.mark.parametrize("name", TIER_FAMILY)
+def test_tier_family_no_sort_aggregate(spark, name):
+    """The rollup/serving family must stay in HashAggregate: label maps
+    never ride through an aggregation buffer (series identity is the
+    invertible signature string, rebuilt dim-side after the shuffle)."""
+    df = QUERIES[name](spark, SF_DIR)
+    plan = _formatted_plan(spark, df)
+    sort_aggs = [
+        l for l in plan.splitlines() if re.match(r"^\(\d+\) SortAggregate", l)
+    ]
+    assert not sort_aggs, f"{name}: SortAggregate in plan\n" + "\n".join(sort_aggs)

@@ -227,3 +227,43 @@ def test_bucketed_tier_skips_reshuffle(spark, tmp_path, samples):
     assert not any(
         re.match(r"^\(\d+\) Exchange", l) for l in planj.splitlines()
     ), planj
+
+
+def test_over_time_from_tier_equals_raw_engine(spark, samples):
+    """*_over_time served from 1m-tier partials must EQUAL the engine's
+    raw-data range-vector path at bucket-aligned windows — the north
+    rule's serving pattern (query a continuous aggregate, never raw)."""
+    from pq_spark.engine.runner import PqEngine
+    from pq_spark.rollup.tiers import over_time_from_tier
+
+    tier = rollup_tier(samples, "1m").filter(F.col("name") == "text_len")
+    served = over_time_from_tier(tier, 60_000, 5 * 60_000)
+    got = {
+        (r["bucket_ts"] + 59_999, r["sig"]): (
+            float(r["cnt"]), r["sum"], r["min"], r["max"],
+            r["oldest_val"], r["newest_val"],
+        )
+        for r in served.collect()
+    }
+
+    since = samples.agg(F.min("ts")).collect()[0][0] // 60_000 * 60_000
+    eng = PqEngine(spark, strict=False, extensions=True)
+    raw = {}
+    for i, fn in enumerate(
+        ["count_over_time", "sum_over_time", "min_over_time",
+         "max_over_time", "last_over_time"]
+    ):
+        vf = eng.evaluate(
+            f"{fn}(text_len[5m])", samples, since_ms=since, interval_ms=60_000
+        )
+        # over-time drops __name__: re-key by the ord column (original sig)
+        for r in vf.cells.collect():
+            raw.setdefault((r["instant"], r["ord"]), [None] * 5)[i] = r["value"]
+
+    assert set(got) == set(raw)
+    for k, (cnt, s, mn, mx, oldest, _newest) in got.items():
+        rc, rs, rmn, rmx, rlast = raw[k]
+        assert rc == cnt, k
+        assert abs(rs - s) < 1e-9 * max(1.0, abs(s)), k
+        assert rmn == mn and rmx == mx, k
+        assert rlast == oldest, k  # pq last_over_time = oldest point

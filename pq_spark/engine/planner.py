@@ -457,13 +457,19 @@ class Planner:
         sample per series with a last-value window, keep skeleton rows
         whose source sample is still fresh. One shuffle keyed by skey; the
         per-series sort replaces the explode's ceil(lookback/interval)×
-        row multiplication. Trade-off (PLANS.md §2): partitioning is by
-        series alone, so a single pathologically hot series serializes on
-        one task — acceptable where this path triggers (dashboards with
-        long staleness over fine grids), and the default explode path
-        remains skew-proof."""
+        row multiplication.
+
+        Skew immunity: the window partitions by (skey, time-block) with
+        block width = lookback. A carried value at instant t only survives
+        the freshness filter if its source sample is within ``lookback``
+        behind, i.e. in t's block or the one before — so each sample is
+        replicated into its own block and the next (fan-out exactly 2,
+        mirroring the Gorilla super-block boundary carry), and a
+        pathologically hot series shards across ceil(span/lookback) tasks
+        instead of serializing on one."""
         from pyspark.sql import Window
 
+        blk = _floordiv(F.col("ts"), lookback)
         pts = matched.select(
             F.xxhash64(sig_expr(F.col("labels"))).alias("skey"),
             "ts",
@@ -471,15 +477,19 @@ class Planner:
             "value",
             F.lit(0).alias("_isinst"),
         )
+        # native copy in its own block + boundary carry into the next
+        pts = pts.withColumn("_blk", blk).unionByName(
+            pts.withColumn("_blk", blk + F.lit(1))
+        )
         skeleton = grid.crossJoin(F.broadcast(sel_dim.select("skey"))).select(
             "skey",
             F.col("instant").alias("ts"),
             F.lit(None).cast("long").alias("_seq"),
             F.lit(None).cast("double").alias("value"),
             F.lit(1).alias("_isinst"),
-        )
+        ).withColumn("_blk", _floordiv(F.col("ts"), lookback))
         w = (
-            Window.partitionBy("skey")
+            Window.partitionBy("skey", "_blk")
             .orderBy("ts", "_isinst", "_seq")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
@@ -779,12 +789,16 @@ class Planner:
         """High-fanout over-time functions (range ≫ interval): instead of
         exploding every sample into ceil(range/interval) window copies,
         union the samples with a (series × grid-instant) skeleton and
-        compute the function as a per-series SLIDING RANGE window — each
-        sample is moved exactly once. Same trade-off as
-        ``_instant_window_strategy``: partitioned by series alone, so the
-        default explode path (skew-proof, fan-out ≤ FANOUT_SWITCH) remains
-        the common case. Equivalence incl. the last_over_time oldest-point
-        quirk is pinned by a force-both-paths test."""
+        compute the function as a per-series SLIDING RANGE window.
+
+        Skew immunity: partitioned by (skey, time-block) with block width
+        = range. A window ending in block k reaches back at most
+        ``range − 1`` ms — into block k−1 at the furthest — so each sample
+        is replicated into its own block and the next (fan-out exactly 2 ≪
+        FANOUT_SWITCH, the explode path's break-even) and a hot series
+        shards across ceil(span/range) tasks. Equivalence incl. the
+        last_over_time oldest-point quirk is pinned by a force-both-paths
+        test."""
         from pyspark.sql import Window
 
         lookback = sel.duration_ms
@@ -792,20 +806,24 @@ class Planner:
         okey = (
             F.col("ts") * F.lit(1 << 21) + F.pmod(F.col("seq"), F.lit(1 << 21))
         )
+        blk = _floordiv(F.col("ts"), lookback)
         pts = matched.select(
             F.xxhash64(sig_expr(F.col("labels"))).alias("skey"),
             "ts",
             okey.alias("_okey"),
             "value",
         )
+        pts = pts.withColumn("_blk", blk).unionByName(
+            pts.withColumn("_blk", blk + F.lit(1))
+        )
         skeleton = grid.crossJoin(F.broadcast(sel_dim.select("skey"))).select(
             "skey",
             F.col("instant").alias("ts"),
             F.lit(None).cast("long").alias("_okey"),
             F.lit(None).cast("double").alias("value"),
-        )
+        ).withColumn("_blk", _floordiv(F.col("ts"), lookback))
         w = (
-            Window.partitionBy("skey")
+            Window.partitionBy("skey", "_blk")
             .orderBy("ts")
             .rangeBetween(-(lookback - 1), 0)
         )

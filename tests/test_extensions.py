@@ -219,3 +219,51 @@ def test_high_fanout_over_time_fused_equivalence(spark):
         finally:
             Planner.FANOUT_SWITCH = old
         assert fused == exploded and len(fused) > 0, fn
+
+
+def test_hot_series_window_plans_shard_and_match(spark):
+    """One pathologically hot series spanning many lookback-width blocks:
+    the (skey, time-block) sharded window plans must (a) agree with the
+    explode path exactly — boundary carry-in loses nothing — and (b)
+    actually partition by (skey, _blk), so the hot series spreads over
+    ceil(span/lookback) tasks instead of serializing on one."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pq_spark.engine.planner import Planner
+    from pq_spark.engine.runner import PqEngine
+
+    hot = spark.range(3_000).select(
+        F.col("id").alias("seq"),
+        (F.col("id") * 997).alias("ts"),  # ~3.0M ms span, 50 blocks @60s
+        F.lit("m").alias("name"),
+        F.create_map(F.lit("__name__"), F.lit("m")).alias("labels"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    eng = PqEngine(spark, strict=False)
+
+    for q, kw in [
+        ("m", dict(interval_ms=1_000, lookback_ms=60_000)),
+        ("sum_over_time(m[60s])", dict(interval_ms=1_000)),
+        ("last_over_time(m[60s])", dict(interval_ms=1_000)),
+    ]:
+        def run():
+            vf = eng.evaluate(q, hot, since_ms=0, **kw)
+            return vf, sorted(
+                (r["instant"], r["value"]) for r in vf.cells.collect()
+            )
+
+        vf, window_out = run()
+        plan = vf.cells._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        assert re.search(r"hashpartitioning\(skey#\d+L, _blk#\d+L", plan), q
+
+        old = Planner.FANOUT_SWITCH
+        try:
+            Planner.FANOUT_SWITCH = 10_000_000  # force the explode path
+            _, explode_out = run()
+        finally:
+            Planner.FANOUT_SWITCH = old
+        assert window_out == explode_out and len(window_out) > 1_000, q

@@ -22,9 +22,24 @@ from .frames import Check, RangeFrame, ScalarResult, VectorFrame
 
 
 def _run_checks(checks: list[Check]) -> None:
-    for c in checks:
-        if c.df.limit(1).count() > 0:
-            raise MatchingError(c.message)
+    """Evaluate every strict-mode check in ONE Spark job: the per-check
+    relations are limit(1)-truncated, tagged with their index, and
+    unioned — a deep binary expression pays one extra job total instead of
+    two per operator. The FIRST violated check (list order) raises, same
+    as the sequential evaluation did."""
+    if not checks:
+        return
+    if len(checks) == 1:
+        if checks[0].df.limit(1).count() > 0:
+            raise MatchingError(checks[0].message)
+        return
+    u = None
+    for i, c in enumerate(checks):
+        part = c.df.limit(1).select(F.lit(i).alias("_ck"))
+        u = part if u is None else u.unionByName(part)
+    hit = [r["_ck"] for r in u.collect()]
+    if hit:
+        raise MatchingError(checks[min(hit)].message)
 
 
 def _metric_json_col() -> F.Column:

@@ -1,20 +1,25 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 A training-data pipeline at 100 TB carries media as ``binary`` columns with
-a typed metadata struct alongside. This module makes the Spark-side
-plumbing real — schemas, Arrow batch shapes, partition-friendly UDF
-signatures — while the actual codecs are stubbed (this container has no
-image/audio libraries): ``decode`` parses our deterministic synthetic
-container format; a real deployment swaps the few marked lines for
-PIL/ffmpeg calls without touching any Spark code.
+a typed metadata struct alongside. The Spark-side plumbing here — schemas,
+Arrow batch shapes, partition-friendly UDF signatures — is production-
+shaped, and the image/audio codecs are REAL formats (pq_spark.codecs):
 
-Synthetic container format (deterministic fake, little-endian):
+- images are spec-compliant 8-bit grayscale **PNG** files (any viewer
+  opens them; any external grayscale PNG decodes here),
+- audio is **WAV** PCM16 mono,
+- video is the one remaining seam: an MJPEG-style container of PNG frames
+  (header below + per-frame length-prefixed PNGs). A real deployment swaps
+  ``_split_video``/``_make_video`` for ffmpeg without touching any Spark
+  code.
+
+Video container format (little-endian):
     magic   u16 = 0x4D4D ('MM')
-    kind    u8  (0=image, 1=audio, 2=video)
-    width   u16 | sample_rate u16 | width u16
-    height  u16 | n_samples   u16 | height u16
-    frames  u16 (1 for image/audio)
-    payload u8[] (pseudo-pixels/samples; length = w*h or n_samples)
+    kind    u8  = 2
+    width   u16
+    height  u16
+    frames  u16
+    then per frame: u32 byte-length + PNG bytes
 """
 
 from __future__ import annotations
@@ -25,6 +30,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .codecs import decode_png, decode_wav, encode_png, encode_wav
 
 MAGIC = 0x4D4D
 
@@ -41,9 +48,33 @@ FEATURES_SCHEMA = (
 THUMB_SCHEMA = "media_id long, thumb binary, thumb_w int, thumb_h int"
 FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
 
+SAMPLE_RATE = 16_000
+
+
+def _make_video(frames: list[np.ndarray], w: int, h: int) -> bytes:
+    head = struct.pack("<HBHHH", MAGIC, 2, w, h, len(frames))
+    parts = [head]
+    for fr in frames:
+        png = encode_png(fr)
+        parts.append(struct.pack("<I", len(png)) + png)
+    return b"".join(parts)
+
+
+def _split_video(blob: bytes) -> tuple[int, int, list[bytes]]:
+    magic, kind, w, h, n = struct.unpack_from("<HBHHH", blob, 0)
+    if magic != MAGIC or kind != 2:
+        raise ValueError("bad video container")
+    pos, frames = 9, []
+    for _ in range(n):
+        (length,) = struct.unpack_from("<I", blob, pos)
+        frames.append(blob[pos + 4 : pos + 4 + length])
+        pos += 4 + length
+    return w, h, frames
+
 
 def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (distributed generation)."""
+    """Deterministic synthetic media table (distributed generation):
+    real PNGs, real WAVs, PNG-frame video containers."""
     df = spark.range(0, n)
     h = F.abs(F.xxhash64(F.col("id"), F.lit(seed)))
     kind_i = (h % 3).cast("int")
@@ -56,12 +87,19 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                   fr: pd.Series) -> pd.Series:
         out = []
         for m, k, wi, hi, f in zip(mid, kind, w, ht, fr):
-            payload_len = int(wi) * int(hi) * int(f)
+            wi, hi, f = int(wi), int(hi), int(f)
             rng = np.random.default_rng(int(m) + 1)
-            payload = rng.integers(0, 256, payload_len, dtype=np.uint8).tobytes()
-            out.append(
-                struct.pack("<HBHHH", MAGIC, int(k), int(wi), int(hi), int(f)) + payload
-            )
+            payload = rng.integers(0, 256, wi * hi * f, dtype=np.uint8)
+            if k == 0:
+                out.append(encode_png(payload.reshape(hi, wi)))
+            elif k == 1:
+                # u8 intensity → PCM16, exactly invertible ((s>>8)+128)
+                s16 = ((payload.astype(np.int16) - 128) << 8).astype(np.int16)
+                out.append(encode_wav(s16, SAMPLE_RATE))
+            else:
+                imgs = [payload[i * wi * hi : (i + 1) * wi * hi].reshape(hi, wi)
+                        for i in range(f)]
+                out.append(_make_video(imgs, wi, hi))
         return pd.Series(out)
 
     blob = make_blob(F.col("id"), kind_i, w, ht, frames)
@@ -74,63 +112,65 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         blob.alias("blob"),
         F.struct(
             w.alias("width"), ht.alias("height"), frames.alias("frames"),
-            F.lit(16000).alias("sample_rate"), F.length(blob).alias("n_bytes"),
+            F.lit(SAMPLE_RATE).alias("sample_rate"), F.length(blob).alias("n_bytes"),
         ).alias("meta"),
     )
 
 
-def _parse_header(b: bytes):
-    magic, kind, w, h, frames = struct.unpack_from("<HBHHH", b, 0)
-    if magic != MAGIC:
-        raise ValueError("bad media container magic")
-    return kind, w, h, frames, b[9:]
+def _decode_any(blob: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    """(kind, width, height, frames, u8 payload) from a media blob, by
+    sniffing the real format signatures."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        img = decode_png(blob)
+        return "image", img.shape[1], img.shape[0], 1, img.ravel()
+    if blob[:4] == b"RIFF":
+        _, s16 = decode_wav(blob)
+        u8 = ((s16 >> 8) + 128).astype(np.uint8)
+        return "audio", len(u8), 1, 1, u8
+    w, h, frames = _split_video(blob)
+    pix = np.concatenate([decode_png(fr).ravel() for fr in frames])
+    return "video", w, h, len(frames), pix
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Decode + feature-extract via ``mapInPandas`` (Arrow batches).
-
-    REAL-CODEC SEAM: replace ``_parse_header``/numpy with PIL/librosa here;
-    everything else (schema, batching, partitioning) is production-shaped.
-    """
+    """Decode + feature-extract via ``mapInPandas`` (Arrow batches),
+    format-sniffing PNG/WAV/video-container per row."""
 
     def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kinds = ["image", "audio", "video"]
         for pdf in batches:
             rows = {k: [] for k in
                     ("media_id", "kind", "width", "height", "frames",
                      "mean_intensity", "n_payload")}
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                kind, w, h, frames, payload = _parse_header(bytes(blob))
-                arr = np.frombuffer(payload, dtype=np.uint8)
+                kind, w, h, frames, payload = _decode_any(bytes(blob))
                 rows["media_id"].append(mid)
-                rows["kind"].append(kinds[kind])
+                rows["kind"].append(kind)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["frames"].append(frames)
-                rows["mean_intensity"].append(float(arr.mean()) if len(arr) else 0.0)
-                rows["n_payload"].append(len(arr))
+                rows["mean_intensity"].append(
+                    float(payload.mean()) if len(payload) else 0.0
+                )
+                rows["n_payload"].append(len(payload))
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "blob").mapInPandas(fe, FEATURES_SCHEMA)
 
 
 def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
-    """'Resize' images: nearest-neighbor downsample of the pseudo-pixels.
-    Real deployment: PIL.Image.resize at the marked seam."""
+    """Resize images: nearest-neighbor downsample, re-encoded as a REAL
+    PNG thumbnail (decodable by any viewer)."""
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, thumbs = [], []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                kind, w, h, frames, payload = _parse_header(bytes(blob))
-                if kind != 0:
-                    continue
-                img = np.frombuffer(payload[: w * h], dtype=np.uint8).reshape(h, w)
+                img = decode_png(bytes(blob))
+                h, w = img.shape
                 yi = (np.arange(out_h) * h // out_h)
                 xi = (np.arange(out_w) * w // out_w)
-                thumb = img[np.ix_(yi, xi)]  # REAL-CODEC SEAM (PIL resize)
                 ids.append(mid)
-                thumbs.append(thumb.tobytes())
+                thumbs.append(encode_png(img[np.ix_(yi, xi)]))
             yield pd.DataFrame(
                 {"media_id": ids, "thumb": thumbs,
                  "thumb_w": [out_w] * len(ids), "thumb_h": [out_h] * len(ids)}
@@ -142,21 +182,18 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame
 
 
 def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
-    """Frame-sample videos: emit every Nth frame as its own binary row
-    (the fan-out shape of a real frame extractor)."""
+    """Frame-sample videos: emit every Nth frame as its own standalone PNG
+    row (the fan-out shape of a real frame extractor)."""
 
     def sf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames_out = [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                kind, w, h, n_frames, payload = _parse_header(bytes(blob))
-                if kind != 2:
-                    continue
-                frame_sz = w * h
-                for i in range(0, n_frames, every):
+                _w, _h, frames = _split_video(bytes(blob))
+                for i in range(0, len(frames), every):
                     ids.append(mid)
                     idxs.append(i)
-                    frames_out.append(payload[i * frame_sz : (i + 1) * frame_sz])
+                    frames_out.append(frames[i])
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames_out})
 
     return media.filter(F.col("kind") == "video").select("media_id", "blob").mapInPandas(

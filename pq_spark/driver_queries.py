@@ -571,25 +571,41 @@ SELECT doc_id, min({_hash_sql('sh', 'fp')}) AS fingerprint FROM sh GROUP BY doc_
 
 
 def _langid_sql() -> str:
-    counts = []
-    for lang, sw in textops.STOPWORDS.items():
-        lst = ", ".join(f"'{s}'" for s in sw)
-        counts.append(
-            f"len(list_filter(string_split({_NORM_SQL}, ' '), "
-            f"x -> list_contains([{lst}], x))) AS c_{lang}"
-        )
-    # mirror the Spark fold: iterate langs sorted DESC, strict > to replace
-    order = sorted(textops.STOPWORDS, reverse=True)
-    lang_expr = "'und'"
-    cnt_expr = "0"
-    for lang in order:
-        lang_expr = f"CASE WHEN c_{lang} > ({cnt_expr}) THEN '{lang}' ELSE {lang_expr} END"
-        cnt_expr = f"CASE WHEN c_{lang} > ({cnt_expr}) THEN c_{lang} ELSE {cnt_expr} END"
-    return (
-        f"WITH c AS (SELECT doc_id, {', '.join(counts)} FROM documents) "
-        f"SELECT doc_id, {lang_expr} AS pred_lang, "
-        f"CAST({cnt_expr} AS BIGINT) AS stopword_hits FROM c"
+    """Character-trigram model as literal SQL: the SAME (trigram, lang,
+    weight) table the Spark side broadcasts, joined against boundary-
+    padded doc trigrams, argmax per doc with (score desc, lang asc)
+    tiebreak and 'und' when nothing matches."""
+    vals = ", ".join(
+        f"('{tg.replace(chr(39), chr(39) * 2)}', '{lang}', {wt})"
+        for tg, lang, wt in textops.lang_trigram_table()
     )
+    return f"""WITH model(tg, lang, wt) AS (VALUES {vals}),
+nt AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ' AS t
+  FROM documents
+),
+tgs AS (
+  SELECT doc_id, substr(t, i, 3) AS tg
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(length(t) - 2, 1))) AS i
+        FROM nt)
+),
+scores AS (
+  SELECT doc_id, lang, sum(wt) AS score
+  FROM tgs JOIN model USING (tg) GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT d.doc_id,
+       coalesce(b.lang, 'und') AS pred_lang,
+       CAST(coalesce(b.score, 0) AS BIGINT) AS tri_score
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON b.doc_id = d.doc_id"""
 
 
 register(

@@ -534,27 +534,95 @@ STOPWORDS = {
 }
 
 
+# function-word vocabulary per language (common determiners, pronouns,
+# prepositions, auxiliaries — Latin transliteration for ru). The model's
+# trigram table derives from these deterministically, so Spark and the
+# DuckDB oracle embed the IDENTICAL literal table.
+LANG_WORDS = {
+    "en": ["the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+           "was", "with", "his", "they", "this", "have", "from", "not",
+           "she", "her", "which", "there", "what", "were", "when"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit",
+           "von", "nicht", "sich", "auch", "auf", "werden", "sie", "ich",
+           "des", "dem", "den", "aber", "noch", "wie", "wenn", "durch"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "du", "pour",
+           "que", "qui", "dans", "pas", "sur", "avec", "par", "plus",
+           "sont", "nous", "vous", "mais", "comme", "elle", "ils"],
+    "nl": ["de", "het", "een", "en", "is", "van", "te", "dat", "op",
+           "voor", "niet", "zijn", "met", "aan", "ook", "als", "maar",
+           "bij", "naar", "deze", "wordt", "heeft", "door", "over", "wij"],
+    "ru": ["i", "v", "ne", "na", "chto", "eto", "kak", "po", "iz", "za",
+           "on", "ona", "oni", "ego", "tak", "no", "da", "zhe", "byl",
+           "ot", "mne", "vse", "uzhe", "tolko", "menya"],
+}
+
+STOPWORDS = {k: v[:10] for k, v in LANG_WORDS.items()}
+
+
+def lang_trigram_table() -> list[tuple[str, str, int]]:
+    """(trigram, lang, weight) rows of the character-trigram model —
+    word-boundary-padded trigrams of LANG_WORDS, weight = occurrence count.
+    Deterministic and literal so the DuckDB oracle can embed it."""
+    rows = []
+    for lang in sorted(LANG_WORDS):
+        cnt: dict[str, int] = {}
+        for w in LANG_WORDS[lang]:
+            s = f" {w} "
+            for i in range(len(s) - 2):
+                tg = s[i : i + 3]
+                cnt[tg] = cnt.get(tg, 0) + 1
+        rows.extend((tg, lang, c) for tg, c in sorted(cnt.items()))
+    return rows
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: per-language stopword hit counts, argmax with
-    deterministic lexicographic tiebreak ('und' when no hits at all)."""
-    w = words_col(F.col(text_col))
-    counts = {
-        lang: F.size(
-            F.filter(w, lambda x: F.array_contains(F.array(*[F.lit(s) for s in sw]), x))
-        )
-        for lang, sw in STOPWORDS.items()
-    }
-    best_lang = F.lit("und")
-    best_cnt = F.lit(0)
-    for lang in sorted(STOPWORDS, reverse=True):
-        c = counts[lang]
-        cond = c > best_cnt
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_cnt = F.when(cond, c).otherwise(best_cnt)
-    return docs.select(
+    """Character-trigram language ID: boundary-padded doc trigrams join a
+    broadcast literal (trigram → lang, weight) table; per-language score =
+    Σ weight; argmax with (score desc, lang asc) tiebreak, 'und' when no
+    trigram hits at all.
+
+    Scale shape: one explode (doc length × 1 rows) + a broadcast hash join
+    + one (doc, lang) hash aggregation — no Python, no all-pairs anything.
+    Accuracy is pinned on a labeled fixture (test_textops_scale)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    tg_table = spark.createDataFrame(
+        lang_trigram_table(), "tg string, lang string, wt int"
+    )
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "),
+        F.lit(" "),
+    )
+    tgs = docs.select(
         F.col(id_col),
-        best_lang.alias("pred_lang"),
-        best_cnt.cast("long").alias("stopword_hits"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(1))),
+                lambda i: norm.substr(i, F.lit(3)),
+            )
+        ).alias("tg"),
+    )
+    scores = (
+        tgs.join(F.broadcast(tg_table), "tg")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("wt").alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("lang").asc())
+    best = (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "lang", "score")
+    )
+    return (
+        docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("tri_score"),
+        )
     )
 
 

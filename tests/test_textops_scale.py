@@ -116,3 +116,39 @@ def test_jaccard_stop_shingle_cap(spark):
     ids = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
     assert all(i >= 4000 for i in ids), "boilerplate pairs leaked"
     assert len(pairs) > 0, "similar distinct docs must still pair"
+
+
+def test_lang_id_trigram_accuracy(spark):
+    """Pinned accuracy of the character-trigram model on a labeled fixture
+    (sentences NOT built from the model's own word list alone)."""
+    from pq_spark.textops import lang_id
+
+    labeled = [
+        ("en", "the quick brown fox jumps over the lazy dog and it was not there"),
+        ("en", "she said that they have seen this film from the start"),
+        ("en", "what were you doing when the rain came down for hours"),
+        ("en", "it is a truth universally acknowledged that a single man wants a wife"),
+        ("de", "der alte mann ging mit seinem hund durch den dunklen wald"),
+        ("de", "sie hat nicht gewusst dass das wetter noch schlechter werden sollte"),
+        ("de", "ich habe auch eine kleine schwester die gerne mit uns spielt"),
+        ("de", "wenn die sonne scheint gehen wir zusammen an den see"),
+        ("fr", "le petit garcon mange une pomme rouge dans le jardin de sa mere"),
+        ("fr", "nous sommes alles au marche pour acheter du pain et du fromage"),
+        ("fr", "elle ne savait pas que vous etiez deja partis avec les enfants"),
+        ("fr", "il y a plus de choses dans le ciel que nous ne pouvons comprendre"),
+        ("nl", "de kinderen spelen met een grote rode bal in het park bij ons"),
+        ("nl", "wij hebben gisteren een mooie film gezien over de zee en schepen"),
+        ("nl", "het wordt morgen beter weer dan vandaag zegt de vrouw op televisie"),
+        ("nl", "deze oude stad heeft veel bruggen over het water naar de markt"),
+        ("ru", "on skazal chto ona uzhe ushla domoi i ne vernetsya segodnya"),
+        ("ru", "eto byl ochen holodnyi den i my ne hoteli vyhodit iz doma"),
+        ("ru", "kak tolko oni prishli na rabotu vse nachali govorit po delu"),
+        ("ru", "ya ne znayu pochemu mne tak trudno vstavat rano utrom zimoi"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(labeled)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    correct = sum(got[i] == lang for i, (lang, _) in enumerate(labeled))
+    acc = correct / len(labeled)
+    assert acc >= 0.9, f"accuracy {acc}: {[(labeled[i][0], got[i]) for i in range(len(labeled))]}"

@@ -1,6 +1,7 @@
 """Rollup pipeline tests: tier exactness, gap-fill semantics, Gorilla
 round-trip at DataFrame level, lineage resume, extraction invariant."""
 
+import os
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -267,3 +268,66 @@ def test_over_time_from_tier_equals_raw_engine(spark, samples):
         assert abs(rs - s) < 1e-9 * max(1.0, abs(s)), k
         assert rmn == mn and rmx == mx, k
         assert rlast == oldest, k  # pq last_over_time = oldest point
+
+
+def test_crash_mid_commit_resume(spark, tmp_path, samples):
+    """Kill the commit between the parquet write and the manifest writes:
+    the resume must (a) rewrite ONLY the unmanifested partitions, (b)
+    never double-write or lose a partition — total rows and per-partition
+    contents end exactly equal to a clean single commit — and (c) leave a
+    snapshot log whose written/skipped sets partition the date range."""
+    import glob
+
+    from pq_spark.rollup.lineage import TierStore, with_date
+
+    tier = with_date(rollup_tier(samples, "1h"))
+    clean_counts = {
+        r["date"]: r["count"] for r in tier.groupBy("date").count().collect()
+    }
+    assert len(clean_counts) >= 2, "fixture must span multiple partitions"
+
+    store = TierStore(str(tmp_path / "store"))
+
+    # crash after the FIRST manifest write: data files are on disk for all
+    # stale partitions, but only one partition is recorded as committed
+    real_write = TierStore._write_manifest
+    calls = {"n": 0}
+
+    def crashing_write(self, table, part, manifest):
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated crash mid-commit")
+        calls["n"] += 1
+        real_write(self, table, part, manifest)
+
+    TierStore._write_manifest = crashing_write
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            store.commit(tier, "tier_1h")
+    finally:
+        TierStore._write_manifest = real_write
+
+    committed = {
+        os.path.basename(p)[:-5]
+        for p in glob.glob(str(tmp_path / "store/tier_1h/_lineage/*.json"))
+    }
+    assert len(committed) == 1  # exactly the pre-crash one
+
+    # resume: a fresh store over the same directory
+    res = TierStore(str(tmp_path / "store")).commit(tier, "tier_1h")
+    assert sorted(res.skipped) == sorted(committed)
+    assert sorted(res.written) == sorted(set(clean_counts) - committed)
+
+    # on-disk content equals a clean single commit: no loss, no double-write
+    back = spark.read.parquet(str(tmp_path / "store/tier_1h"))
+    got_counts = {
+        str(r["date"]): r["count"] for r in back.groupBy("date").count().collect()
+    }
+    assert got_counts == clean_counts  # partition dirs read back as dates
+    j = back.select("date", "sig", "bucket_ts").groupBy(
+        "date", "sig", "bucket_ts"
+    ).count().filter(F.col("count") > 1)
+    assert j.count() == 0  # unique keys — nothing written twice
+
+    # third commit: everything skips (fingerprints unchanged)
+    res3 = TierStore(str(tmp_path / "store")).commit(tier, "tier_1h")
+    assert not res3.written and sorted(res3.skipped) == sorted(clean_counts)

@@ -1240,7 +1240,15 @@ class Planner:
         if not isinstance(lhs, VectorFrame) or not isinstance(rhs, VectorFrame):
             raise PqError("logical operators expect instant vectors")
         matching = node.label_matching
-        grid = self._grid_merge(lhs.grid, rhs.grid)
+        # Prometheus filter semantics, NOT the arithmetic zip: the lhs
+        # passes through wherever IT exists — the rhs is only a key set,
+        # so its grid never truncates the lhs (`a unless b` at an instant
+        # past b's data is just `a`). Output grid: lhs grid for and/unless
+        # (cells require an lhs sample), full union for or.
+        if node.op == "or":
+            grid = lhs.grid.union(rhs.grid).distinct()
+        else:
+            grid = lhs.grid
         lmap = self._match_map(lhs.dim, matching)
         rmap = self._match_map(rhs.dim, matching)
         lf = lhs.facts.join(F.broadcast(lmap.select("skey", "_mkey")), "skey")

@@ -267,3 +267,125 @@ class Sim:
         return grid, {
             t: [(labels, -v) for labels, v in series] for t, series in cells.items()
         }
+
+
+# ---- extension operators (reference parses these; engine implements) ------
+
+
+class SimExt(Sim):
+    """Extension-operator semantics (engine's extensions=True surface).
+
+    topk tie note: the reference's within-group BinaryHeap retains an
+    UNSPECIFIED element among equal boundary values (heap array order);
+    neither its tests nor the goldens pin it. The sim mirrors the engine's
+    deterministic choice — keep the earliest series in input-emission
+    order — which is one valid refinement of the unspecified behavior.
+    """
+
+    def topk(self, k, frame, modifier=None, bottom=False):
+        grid, cells = frame
+        out_cells = {}
+        for t, samples in cells.items():
+            groups = {}
+            for idx, (labels, value) in enumerate(samples):
+                gs = sig_of(self._group_labels(labels, modifier))
+                groups.setdefault(gs, []).append((idx, labels, value))
+            out = []
+            for gs in sorted(groups):
+                members = groups[gs]
+                key = (lambda m: (m[2], m[0])) if bottom else (
+                    lambda m: (-m[2], m[0]))
+                for idx, labels, value in sorted(members, key=key)[:k]:
+                    out.append((labels, value))
+            if out:
+                out_cells[t] = out
+        return grid, out_cells
+
+    def logical(self, op, lframe, rframe, matching=None):
+        """Prometheus filter semantics — the rhs is a key set and never
+        truncates the lhs. Grid: lhs grid for and/unless, union for or."""
+        lgrid, lcells = lframe
+        rgrid, rcells = rframe
+        if op == "or":
+            grid = sorted(set(lgrid) | set(rgrid))
+        else:
+            grid = list(lgrid)
+        out_cells = {}
+        for t in grid:
+            lss = lcells.get(t, [])
+            rss = rcells.get(t, [])
+            rsigs = {sig_of(self._match_labels(l, matching)) for l, _ in rss}
+            lsigs = {sig_of(self._match_labels(l, matching)) for l, _ in lss}
+            if op == "and":
+                out = [(l, v) for l, v in lss
+                       if sig_of(self._match_labels(l, matching)) in rsigs]
+            elif op == "unless":
+                out = [(l, v) for l, v in lss
+                       if sig_of(self._match_labels(l, matching)) not in rsigs]
+            else:  # or
+                out = list(lss) + [
+                    (l, v) for l, v in rss
+                    if sig_of(self._match_labels(l, matching)) not in lsigs
+                ]
+            if out:
+                out_cells[t] = out
+        return grid, out_cells
+
+    def group_left(self, op, mframe, oframe, matching=None, include=()):
+        """many-side (left) keeps its labels minus __name__; include labels
+        copy from the one side; one side must be unique per match sig."""
+        mgrid, mcells = mframe
+        ogrid, ocells = oframe
+        if not mgrid or not ogrid:
+            return [], {}
+        cutoff = min(max(mgrid), max(ogrid))
+        grid = sorted(t for t in set(mgrid) | set(ogrid) if t <= cutoff)
+        out_cells = {}
+        for t in grid:
+            ones = {}
+            for labels, v in ocells.get(t, []):
+                ms = sig_of(self._match_labels(labels, matching))
+                if ms in ones:
+                    raise ValueError("multiple matches on the 'one' side")
+                ones[ms] = (labels, v)
+            out = []
+            for labels, mv in mcells.get(t, []):
+                ms = sig_of(self._match_labels(labels, matching))
+                if ms not in ones:
+                    continue
+                olabels, ov = ones[ms]
+                nl = {k: v for k, v in labels.items() if k != NAME}
+                for lbl in include:
+                    if lbl in olabels:
+                        nl[lbl] = olabels[lbl]
+                    else:
+                        nl.pop(lbl, None)
+                out.append((nl, float(self._scalar_op(op, mv, ov))))
+            if out:
+                out_cells[t] = out
+        return grid, out_cells
+
+    def rate_family(self, fn, frame):
+        """rate/increase/delta over a range-selector frame (cells hold
+        per-series point lists). n>=2 required; rate also needs span>0."""
+        grid, cells = frame
+        out_cells = {}
+        for t, series in cells.items():
+            out = []
+            for labels, pts in series:  # [(ts, seq, value)] asc by (ts, seq)
+                if len(pts) < 2:
+                    continue
+                ft, _, fv = pts[0]
+                lt, _, lv = pts[-1]
+                if fn == "rate":
+                    if lt <= ft:
+                        continue
+                    v = (lv - fv) / ((lt - ft) / 1000.0)
+                else:  # increase / delta
+                    v = lv - fv
+                out.append((
+                    {k: lv2 for k, lv2 in labels.items() if k != NAME}, float(v)
+                ))
+            if out:
+                out_cells[t] = out
+        return grid, out_cells

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from pq_spark.engine.frames import VectorFrame
 from pq_spark.engine.runner import PqEngine
-from tests.oracle_sim import NAME, Sim, sig_of
+from tests.oracle_sim import NAME, Sim, SimExt, sig_of
 
 INTERVAL = 1000
 LOOKBACK = 1000
@@ -30,7 +30,7 @@ sample_strategy = st.lists(
     max_size=25,
 )
 
-QUERIES = [
+BASE_QUERIES = [
     "m",
     '{__name__=~"m|n"}',
     "sum(m)",
@@ -47,6 +47,19 @@ QUERIES = [
     "-m",
     "m + n",
     "sum(m) + sum(n)",
+]
+
+# extension operators (engine extensions=True; SimExt semantics)
+EXT_QUERIES = [
+    "topk(2, m)",
+    'bottomk by (a) (1, {__name__=~"m|n"})',
+    "m and n",
+    "m unless n",
+    "m or n",
+    "m + on(a) group_left n",
+    "rate(m[3s])",
+    "increase(m[2s])",
+    "delta(m[2s])",
 ]
 
 
@@ -100,6 +113,35 @@ def _sim_query(sim: Sim, q: str):
             sim.aggregate("sum", sim.selector([(NAME, "=", "m")])),
             sim.aggregate("sum", sim.selector([(NAME, "=", "n")])),
         )
+    if q == "topk(2, m)":
+        return sim.topk(2, sim.selector([(NAME, "=", "m")]))
+    if q == 'bottomk by (a) (1, {__name__=~"m|n"})':
+        return sim.topk(
+            1, sim.selector([(NAME, "=~", "m|n")]), ("by", {"a"}), bottom=True
+        )
+    if q in ("m and n", "m unless n", "m or n"):
+        return sim.logical(
+            q.split()[1],
+            sim.selector([(NAME, "=", "m")]),
+            sim.selector([(NAME, "=", "n")]),
+        )
+    if q == "m + on(a) group_left n":
+        return sim.group_left(
+            "+",
+            sim.selector([(NAME, "=", "m")]),
+            sim.selector([(NAME, "=", "n")]),
+            ("on", {"a"}),
+        )
+    if q == "rate(m[3s])":
+        return sim.rate_family("rate", sim.selector([(NAME, "=", "m")], duration=3000))
+    if q == "increase(m[2s])":
+        return sim.rate_family(
+            "increase", sim.selector([(NAME, "=", "m")], duration=2000)
+        )
+    if q == "delta(m[2s])":
+        return sim.rate_family(
+            "delta", sim.selector([(NAME, "=", "m")], duration=2000)
+        )
     raise AssertionError(q)
 
 
@@ -135,11 +177,7 @@ def _canon_cells(cells):
     }
 
 
-@pytest.mark.slow
-@settings(max_examples=6, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(data=sample_strategy)
-def test_engine_matches_simulator(spark, data):
+def _check_queries(spark, data, queries):
     samples_rows = []
     sim_rows = []
     for i, (name, (lk, lv), ts, val) in enumerate(data):
@@ -149,11 +187,11 @@ def test_engine_matches_simulator(spark, data):
 
     schema = "seq long, ts long, name string, labels map<string,string>, value double"
     sdf = spark.createDataFrame(samples_rows, schema)
-    engine = PqEngine(spark, strict=False)
+    engine = PqEngine(spark, strict=False, extensions=True)
 
-    for q in QUERIES:
+    for q in queries:
         iv = _interval_for(q)
-        sim = Sim(sim_rows, iv, iv)
+        sim = SimExt(sim_rows, iv, iv)
         expected_grid, expected_cells = _sim_query(sim, q)
 
         # engine: range selectors infer their own interval from the query
@@ -166,3 +204,19 @@ def test_engine_matches_simulator(spark, data):
             f"{q}: cells mismatch\n sim={_canon_cells(expected_cells)}\n "
             f"eng={_canon_cells(got_cells)}\n data={data}"
         )
+
+
+@pytest.mark.slow
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=sample_strategy)
+def test_engine_matches_simulator(spark, data):
+    _check_queries(spark, data, BASE_QUERIES)
+
+
+@pytest.mark.slow
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=sample_strategy)
+def test_engine_matches_simulator_extensions(spark, data):
+    _check_queries(spark, data, EXT_QUERIES)

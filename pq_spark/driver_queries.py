@@ -1252,6 +1252,21 @@ WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.3""",
 # entries, deferred included.
 # ---------------------------------------------------------------------------
 
+# k-means-trained IVF: same probed-lists semantics as ann_ivf_topk but
+# with a Lloyd's-trained quantizer (textops.kmeans_centroids). The
+# iterative distributed float means are not bit-reproducible in SQL, so
+# this carries no oracle — correctness is pinned by the recall/balance
+# test (test_textops_scale.py::test_ivf_kmeans_balances_inverted_lists)
+# and the oracled ann_ivf_topk covers the serving mechanics.
+register(
+    "ann_ivf_kmeans_topk",
+    lambda spark, sf: textops.ann_topk_ivf(
+        _emb(spark, sf), _query_vec(spark, sf), k=10, n_centroids=16,
+        nprobe=4, train_iters=3,
+    ),
+    None,
+)
+
 _DEFERRED = [
     "pq_avg_over_time",  # family: *_over_time means — sum+count stay
     "pq_sum",            # family: sum — pq_sum_by_et stays up front

@@ -423,29 +423,88 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 16, iters: int = 5,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer.
+
+    Deterministic init (first k vectors by id), then ``iters`` rounds of:
+    assign (pure-JVM nearest-centroid, no shuffle — ``ivf_assign``) →
+    recompute means (posexplode to (row, dim) pairs, one hash aggregation
+    keyed (centroid, position) with map-side combine). Per iteration the
+    corpus is scanned once and only k×dim aggregated doubles reach the
+    driver — the standard scalable k-means shape; empty clusters keep
+    their previous centroid. Cost: ``iters`` corpus scans, so train once
+    and reuse (the centroids ARE the model)."""
+    first = (
+        embeddings.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    )
+    centroids = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(first)
+    ]
+    for _ in range(iters):
+        asg = ivf_assign(embeddings, centroids, vec_col, id_col)
+        means = (
+            asg.select(
+                "centroid_id",
+                F.posexplode(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                ).alias("pos", "x"),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
+        centroids = [
+            (
+                cid,
+                [by_cid[cid][p] for p in sorted(by_cid[cid])]
+                if cid in by_cid
+                else vec,  # empty cluster: keep the previous centroid
+            )
+            for cid, vec in centroids
+        ]
+    return centroids
+
+
 def ann_topk_ivf(
     embeddings: DataFrame, query_vec: list[float], k: int = 10,
     n_centroids: int = 16, nprobe: int = 4,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` inverted lists, probe the ``nprobe`` lists nearest the
     query, brute-force cosine inside them. The scale path reads
     ~nprobe/n_centroids of the corpus; at cluster scale the lists are the
-    partition keys. Centroids here are the first ``n_centroids`` vectors
-    by id — a deterministic, training-free quantizer so a DuckDB oracle
-    can restate the whole operator; swap in offline-trained k-means
-    centroids for real recall."""
+    partition keys.
+
+    Quantizer: with ``train_iters=0`` (default) the centroids are the
+    first ``n_centroids`` vectors by id — deterministic and training-free,
+    so a DuckDB oracle can restate the whole operator. With
+    ``train_iters>0`` they are Lloyd's k-means means (``kmeans_centroids``)
+    — better recall per probed fraction, pinned by a recall test instead
+    of a SQL oracle (the iterative float means aren't reproducible
+    bit-for-bit in SQL)."""
     import math
 
-    cent_rows = (
-        embeddings.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    centroids = sorted(
-        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in cent_rows
-    )
+    if train_iters > 0:
+        centroids = kmeans_centroids(
+            embeddings, n_centroids, train_iters, vec_col, id_col
+        )
+    else:
+        cent_rows = (
+            embeddings.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        centroids = sorted(
+            (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in cent_rows
+        )
     q = [float(x) for x in query_vec]
 
     def cos(c):

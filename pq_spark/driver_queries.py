@@ -472,6 +472,54 @@ register(
     _OVER_TIME_OVER_TIER_SQL,
 )
 
+
+def _rate_over_tier(spark, sf):
+    """rate[5m] served FROM 1m-tier partials: the window's first/last
+    POINT reconstructs from (oldest_ts, oldest_val)/(newest_ts,
+    newest_val) of the earliest/latest contributing buckets, so
+    rate = (lv − fv)/((lt − ft)/1000) is exact — the north rule's
+    'PromQL rate over a continuous aggregate' serving pattern."""
+    from .rollup.tiers import over_time_from_tier
+
+    tier = rollup_tier(event_samples(spark, sf), "1m")
+    w = over_time_from_tier(tier, MIN_MS, 5 * MIN_MS)
+    rate = (F.col("newest_val") - F.col("oldest_val")) / (
+        (F.col("newest_ts") - F.col("oldest_ts")) / F.lit(1000.0)
+    )
+    return (
+        w.filter((F.col("cnt") >= 2) & (F.col("newest_ts") > F.col("oldest_ts")))
+        .select(
+            (F.col("bucket_ts") + F.lit(MIN_MS - 1)).alias("instant"),
+            F.col("labels").getItem("et").alias("et"),
+            F.col("labels").getItem("ub").alias("ub"),
+            F.round(rate, 6).alias("rate_s"),
+        )
+    )
+
+
+# raw-side oracle: same serving-window explode as the sum_over_time oracle,
+# with the window's first/last point picked by the packed (ts, event_id)
+# order — mirrors the pq_rate_1h oracle at bucket-aligned 5m windows
+_RATE_OVER_TIER_SQL = f"""WITH {_S_CTE},
+srv AS (
+  SELECT unnest(generate_series(
+           ts_ms - (ts_ms % {MIN_MS}),
+           ts_ms - (ts_ms % {MIN_MS}) + {4 * MIN_MS}, {MIN_MS})) AS wend,
+         et, ub, value, ts_ms, event_id
+  FROM s
+)
+SELECT wend + {MIN_MS - 1} AS instant, et, ub,
+       round((lv - fv) / ((lt - ft) / 1000.0), 6) AS rate_s
+FROM (
+  SELECT wend, et, ub,
+         min(ts_ms) AS ft, max(ts_ms) AS lt, count(*) AS n,
+         arg_min(value, ts_ms * 1000000 + event_id) AS fv,
+         arg_max(value, ts_ms * 1000000 + event_id) AS lv
+  FROM srv GROUP BY wend, et, ub
+) WHERE n >= 2 AND lt > ft"""
+
+register("pq_rate_over_tier_1m", _rate_over_tier, _RATE_OVER_TIER_SQL)
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -1269,6 +1317,8 @@ register(
 
 _DEFERRED = [
     "pq_avg_over_time",  # family: *_over_time means — sum+count stay
+    "pq_min_over_time",  # family: *_over_time extremes — sum+count stay
+    "pq_increase_1h",    # family: rate — pq_rate_1h + pq_rate_over_tier stay
     "pq_sum",            # family: sum — pq_sum_by_et stays up front
     "pq_min_by_et",      # family: min/max — pq_max_by_et stays
     "pq_max_over_time",  # family: *_over_time extremes — pq_min_over_time stays

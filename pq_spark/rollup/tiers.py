@@ -346,7 +346,11 @@ def over_time_from_tier(
     Output (one row per window-end bucket × series with ≥1 point):
     ``bucket_ts`` = window-END bucket (grid instant = bucket_ts + B − 1),
     the input's identity columns (sig/name/labels or skey), and
-    cnt/sum/min/max/oldest_val/newest_val window aggregates.
+    cnt/sum/min/max/oldest_val/newest_val/oldest_ts/newest_ts window
+    aggregates — the last four reconstruct the window's first/last POINT,
+    so rate/increase/delta are exactly servable too:
+    ``rate = (newest_val − oldest_val) / ((newest_ts − oldest_ts)/1000)``
+    when ``cnt ≥ 2`` and the span is positive.
     """
     if range_ms % tier_ms != 0 or range_ms <= 0:
         raise ValueError("range must be a positive multiple of the tier width")
@@ -357,7 +361,8 @@ def over_time_from_tier(
     served = tier.select(
         ident,
         F.col("bucket_ts").alias("_src"),
-        "cnt", "sum", "min", "max", "first_val", "last_val",
+        "cnt", "sum", "min", "max",
+        "first_ts", "first_val", "last_ts", "last_val",
         F.explode(
             F.sequence(
                 F.col("bucket_ts"),
@@ -367,7 +372,10 @@ def over_time_from_tier(
         ).alias("_wend"),
     )
     # numeric-only aggregation keyed by (window-end, series key) stays in
-    # HashAggregate; identity columns rejoin from a broadcast dim below
+    # HashAggregate; identity columns rejoin from a broadcast dim below.
+    # oldest/newest ts+val reconstruct the window's first/last POINT, so
+    # the rate family (rate/increase/delta) is also exactly servable:
+    # the earliest contributing bucket's first point IS the window's first.
     agg = served.groupBy(F.col("_wend").alias("bucket_ts"), ident).agg(
         F.sum("cnt").alias("cnt"),
         F.sum("sum").alias("sum"),
@@ -375,8 +383,11 @@ def over_time_from_tier(
         F.max("max").alias("max"),
         F.min_by("first_val", "_src").alias("oldest_val"),
         F.max_by("last_val", "_src").alias("newest_val"),
+        F.min("first_ts").alias("oldest_ts"),
+        F.max("last_ts").alias("newest_ts"),
     )
-    cols = ["cnt", "sum", "min", "max", "oldest_val", "newest_val"]
+    cols = ["cnt", "sum", "min", "max",
+            "oldest_val", "newest_val", "oldest_ts", "newest_ts"]
     if narrow:
         return agg.select("bucket_ts", ident, *cols)
     dim = _series_dim_from_wide(tier)

@@ -269,6 +269,23 @@ def test_over_time_from_tier_equals_raw_engine(spark, samples):
         assert rmn == mn and rmx == mx, k
         assert rlast == oldest, k  # pq last_over_time = oldest point
 
+    # rate family served from the same partials: first/last POINT
+    # reconstruction must equal the engine's raw-path rate exactly
+    vf = eng.evaluate(
+        "rate(text_len[5m])", samples, since_ms=since, interval_ms=60_000
+    )
+    raw_rate = {(r["instant"], r["ord"] + "\x7f"): r["value"]
+                for r in vf.cells.collect()}
+    served_rate = {}
+    for r in served.collect():
+        if r["cnt"] >= 2 and r["newest_ts"] > r["oldest_ts"]:
+            v = (r["newest_val"] - r["oldest_val"]) / (
+                (r["newest_ts"] - r["oldest_ts"]) / 1000.0)
+            served_rate[(r["bucket_ts"] + 59_999, r["sig"] + "\x7f")] = v
+    assert set(served_rate) == set(raw_rate)
+    for k, v in served_rate.items():
+        assert abs(v - raw_rate[k]) < 1e-9 * max(1.0, abs(v)), k
+
 
 def test_crash_mid_commit_resume(spark, tmp_path, samples):
     """Kill the commit between the parquet write and the manifest writes:

@@ -1,5 +1,15 @@
 from .pages import extract_text_udf, page_samples, synth_pages
-from .tiers import TIER_MS, gapfill, rollup_cascade, rollup_tier, tier_from_tier
+from .tiers import (
+    TIER_MS,
+    gapfill,
+    over_time_from_tier,
+    rollup_cascade,
+    rollup_tier,
+    samples_from_tier,
+    series_dim,
+    tier_from_tier,
+    tier_partials,
+)
 
 __all__ = [
     "synth_pages",
@@ -10,4 +20,8 @@ __all__ = [
     "tier_from_tier",
     "rollup_cascade",
     "gapfill",
+    "over_time_from_tier",
+    "samples_from_tier",
+    "series_dim",
+    "tier_partials",
 ]

@@ -106,9 +106,9 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    import statistics
+
+    return float(statistics.median(xs))
 
 
 def _control_probe(spark) -> float:

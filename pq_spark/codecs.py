@@ -69,7 +69,11 @@ def decode_png(data: bytes) -> np.ndarray:
     h = None
     idat = bytearray()
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG (chunk header past end)")
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG (chunk body past end)")
         typ = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
@@ -144,14 +148,20 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(data):
         typ = data[pos : pos + 4]
         (length,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + length > len(data):
+            raise ValueError("truncated WAV (chunk body past end)")
         body = data[pos + 8 : pos + 8 + length]
         if typ == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV (short fmt chunk)")
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
             if (audio_fmt, channels, bits) != (1, 1, 16):
                 raise ValueError("unsupported WAV variant (need PCM16 mono)")
         elif typ == b"data":
+            if len(body) % 2:
+                raise ValueError("truncated WAV (odd-length PCM16 data)")
             samples = np.frombuffer(body, dtype=np.int16)
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if rate is None or samples is None:

@@ -1316,9 +1316,11 @@ register(
 )
 
 _DEFERRED = [
+    "ann_ivf_kmeans_topk",  # no oracle by design (iterative k-means) — keep
+                            # the sampled window 100% oracle-backed; IVF
+                            # mechanics covered by oracled ann_ivf_topk
     "pq_avg_over_time",  # family: *_over_time means — sum+count stay
     "pq_min_over_time",  # family: *_over_time extremes — sum+count stay
-    "pq_increase_1h",    # family: rate — pq_rate_1h + pq_rate_over_tier stay
     "pq_sum",            # family: sum — pq_sum_by_et stays up front
     "pq_min_by_et",      # family: min/max — pq_max_by_et stays
     "pq_max_over_time",  # family: *_over_time extremes — pq_min_over_time stays

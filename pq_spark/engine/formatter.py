@@ -37,7 +37,16 @@ def _run_checks(checks: list[Check]) -> None:
     for i, c in enumerate(checks):
         part = c.df.limit(1).select(F.lit(i).alias("_ck"))
         u = part if u is None else u.unionByName(part)
-    hit = [r["_ck"] for r in u.collect()]
+    try:
+        hit = [r["_ck"] for r in u.collect()]
+    except Exception:
+        # a later check's branch failed at runtime inside the union — fall
+        # back to sequential evaluation so an earlier VIOLATED check still
+        # raises its reference message first, like the lazy reference would
+        for c in checks:
+            if c.df.limit(1).count() > 0:
+                raise MatchingError(c.message)
+        raise
     if hit:
         raise MatchingError(checks[min(hit)].message)
 

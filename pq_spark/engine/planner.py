@@ -1179,19 +1179,24 @@ class Planner:
         else:
             joined = joined.withColumn("_value", _binop_col(node.op, l, r))
 
-        # joined feeds BOTH the facts and the pair dim below — persist so
-        # the fact-scale join runs once (unpersisted by the runner with the
-        # selector dims)
-        joined = joined.persist()
-        self.ctx.persisted.append(joined)
-
         pkey = F.xxhash64("_mskey", "_oskey")
         facts = joined.select(
             "instant", pkey.alias("skey"), F.col("_value").alias("value")
         )
 
-        # pair dim: observed (many, one) series pairs → output labels
-        pairs = joined.select("_mskey", "_oskey").distinct()
+        # pair dim: (many, one) pairs that CAN match, derived from the two
+        # match maps — dim-sized work (≤ |many| rows under the unique-one
+        # contract), so the fact-scale join above runs exactly once, for
+        # the facts. Pairs that never co-occur at an instant produce
+        # harmless extra dim rows that no fact references. (Persisting
+        # `joined` instead would cache a fact-scale relation for the whole
+        # session — prohibitive at the design scale.)
+        pairs = (
+            mmap.select(F.col("skey").alias("_mskey"), "_mkey")
+            .join(omap.select(F.col("skey").alias("_oskey"), "_mkey"), "_mkey")
+            .select("_mskey", "_oskey")
+            .distinct()
+        )
         mdim = many.dim.select(
             F.col("skey").alias("_mskey"),
             F.col("labels").alias("_mlabels_full"),

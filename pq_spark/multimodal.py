@@ -128,7 +128,11 @@ def _decode_any(blob: bytes) -> tuple[str, int, int, int, np.ndarray]:
         u8 = ((s16 >> 8) + 128).astype(np.uint8)
         return "audio", len(u8), 1, 1, u8
     w, h, frames = _split_video(blob)
-    pix = np.concatenate([decode_png(fr).ravel() for fr in frames])
+    pix = (
+        np.concatenate([decode_png(fr).ravel() for fr in frames])
+        if frames
+        else np.zeros(0, dtype=np.uint8)  # zero-frame container is valid
+    )
     return "video", w, h, len(frames), pix
 
 

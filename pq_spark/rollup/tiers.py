@@ -58,24 +58,12 @@ def series_dim(samples: DataFrame, check_collisions: bool = False) -> DataFrame:
 
     Discovery runs as a plain string-distinct (HashAggregate) over the
     INVERTIBLE signature; the label map is rebuilt from the string on the
-    post-shuffle dim-sized rows. Grouping on the map (or carrying it
-    through first()) would force SortAggregate — a per-partition sort of
-    every fact row (the engine's planner uses the same trick)."""
-    from ..engine.planner import _PAIR_SEP, _labels_from_sig2, _sig2_expr
-    from ..engine.ingest import NAME_LABEL
-
-    sig2 = samples.select(_sig2_expr(F.col("labels")).alias("_sig2")).distinct()
-    dim = (
-        sig2.select(
-            F.replace(F.col("_sig2"), F.lit(_PAIR_SEP), F.lit("")).alias("sig"),
-            _labels_from_sig2(F.col("_sig2")).alias("labels"),
-        )
-        .select(
-            series_key(F.col("sig")).alias("skey"),
-            "sig",
-            F.col("labels").getItem(NAME_LABEL).alias("name"),
-            "labels",
-        )
+    post-shuffle dim-sized rows (``_series_dim_from_wide``). Grouping on
+    the map (or carrying it through first()) would force SortAggregate —
+    a per-partition sort of every fact row (the engine's planner uses the
+    same trick)."""
+    dim = _series_dim_from_wide(samples).select(
+        series_key(F.col("sig")).alias("skey"), "sig", "name", "labels"
     )
     if check_collisions:
         agg = dim.agg(

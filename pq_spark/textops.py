@@ -584,14 +584,6 @@ def embedding_near_dup_pairs(
 # text analysis
 # ---------------------------------------------------------------------------
 
-STOPWORDS = {
-    "en": ["the", "of", "and", "a", "to", "in", "is", "it", "that", "for"],
-    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
-    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"],
-    "nl": ["de", "het", "een", "en", "is", "van", "te", "dat", "op", "voor"],
-    "ru": ["i", "v", "ne", "na", "chto", "eto", "kak", "po", "iz", "za"],
-}
-
 
 # function-word vocabulary per language (common determiners, pronouns,
 # prepositions, auxiliaries — Latin transliteration for ru). The model's

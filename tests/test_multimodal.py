@@ -123,3 +123,22 @@ def test_resize_and_frames(spark):
     assert set(by_media) == set(vids)
     for mid, rs in by_media.items():
         assert len(rs) == (vids[mid] + 1) // 2
+
+
+def test_codecs_reject_truncation_with_valueerror():
+    # callers quarantine bad media rows by catching ValueError — truncated
+    # input must never escape as struct.error / numpy errors
+    img = np.random.default_rng(3).integers(0, 256, (6, 6), dtype=np.uint8)
+    png = encode_png(img)
+    wav = encode_wav(np.zeros(64, dtype=np.int16))
+    for blob, cut in [(png, len(png) - 7), (png, 15), (wav, len(wav) - 3),
+                      (wav, 14)]:
+        with pytest.raises(ValueError):
+            (decode_png if blob is png else decode_wav)(blob[:cut])
+
+
+def test_zero_frame_video_features(spark):
+    from pq_spark.multimodal import _decode_any, _make_video
+
+    kind, w, h, frames, payload = _decode_any(_make_video([], 5, 4))
+    assert (kind, w, h, frames, len(payload)) == ("video", 5, 4, 0, 0)

@@ -152,6 +152,13 @@ def run_pipeline_bench(spark, sf: float, n_pages: int | None, out_dir: str,
     out["elapsed_s"] = _median([m["elapsed_s"] for m in per_rep])
     out["pipeline_pps_reps"] = [round(m["points_per_sec"], 1) for m in per_rep]
     out["n_pages"] = n
+    # per-stage timeline (last rep) — shows WHERE pipeline time sits
+    # (extraction-verify and sink commits vs the rollup compute itself)
+    out["stage_s"] = {
+        k: round(v["elapsed_s"], 3)
+        for k, v in per_rep[-1]["stages"].items()
+        if isinstance(v, dict) and "elapsed_s" in v
+    }
     return out
 
 
@@ -314,6 +321,8 @@ def bench_once(cpus: int, sf_dir: str, n_pages: int | None, queries: bool,
             "points_per_sec": round(pipe["points_per_sec"], 1),
             "pipeline_elapsed_s": round(pipe["elapsed_s"], 3),
             "pipeline_pps_reps": pipe["pipeline_pps_reps"],
+            "stage_s": pipe.get("stage_s", {}),
+            "gorilla_compression": pipe.get("gorilla_compression"),
             **qmeta,
         }
     finally:

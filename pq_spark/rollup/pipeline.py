@@ -110,6 +110,19 @@ def run_pipeline(
             with_date(packed, ts_col="block_ts"), "gorilla_blocks"
         )
         metrics["stages"]["gorilla"] = rp.metrics
+        # compression evidence from the committed table (one tiny agg):
+        # raw = 16 B/point (ts + value), packed = Σ blob bytes
+        comp = store.read(spark, "gorilla_blocks").agg(
+            F.sum("raw_bytes").alias("raw"),
+            F.sum(F.length("blob")).alias("packed"),
+            F.sum("n").alias("points"),
+        ).collect()[0]
+        metrics["gorilla_raw_bytes"] = int(comp["raw"] or 0)
+        metrics["gorilla_packed_bytes"] = int(comp["packed"] or 0)
+        metrics["gorilla_points"] = int(comp["points"] or 0)
+        metrics["gorilla_compression"] = round(
+            comp["raw"] / comp["packed"], 2
+        ) if comp["packed"] else None
 
     samples.unpersist()
     dim.unpersist()

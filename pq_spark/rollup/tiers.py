@@ -376,7 +376,9 @@ def over_time_from_tier(
     )
     cols = ["cnt", "sum", "min", "max",
             "oldest_val", "newest_val", "oldest_ts", "newest_ts"]
-    if narrow:
+    if narrow or "labels" not in tier.columns:
+        # skey-keyed partials, or label-less tiers (e.g. streaming_tier
+        # output carries sig+name only) — serve keyed, no dim join
         return agg.select("bucket_ts", ident, *cols)
     dim = _series_dim_from_wide(tier)
     return agg.join(F.broadcast(dim), "sig").select(

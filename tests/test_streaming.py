@@ -137,3 +137,35 @@ def test_streaming_last_value_late_in_bucket_sample(spark, tmp_path):
     assert got[("a", 60_000)] == (5.0, False)
     assert got[("a", 120_000)] == (5.0, True)
     assert ("a", 180_000) not in got
+
+
+def test_streamed_tier_serves_over_time_windows(spark, sample_dir):
+    """Lambda-architecture claim, demonstrated: the STREAMING tier's
+    partial rows are the same table the batch serving layer reads —
+    over_time_from_tier over the streamed output must equal the same
+    serving over a batch rollup of the raw samples."""
+    from pq_spark.rollup.tiers import over_time_from_tier, rollup_tier
+
+    stream = spark.readStream.schema(SAMPLE_SCHEMA).json(sample_dir)
+    tier = streaming_tier(stream, "1m", watermark="0 seconds")
+    streamed = _run_stream(
+        spark, tier, f"serve_{int(time.time()*1000)}", mode="complete"
+    )
+
+    cols = ["cnt", "sum", "min", "max",
+            "oldest_val", "newest_val", "oldest_ts", "newest_ts"]
+    got = {
+        (r["bucket_ts"], r["sig"]): tuple(r[c] for c in cols)
+        for r in over_time_from_tier(streamed, 60_000, 3 * 60_000).collect()
+    }
+
+    raw = spark.read.schema(SAMPLE_SCHEMA).json(sample_dir).withColumn(
+        "labels", F.create_map(F.lit("__name__"), F.col("name"),
+                               F.lit("s"), F.col("sig"))
+    )
+    batch_tier = rollup_tier(raw, "1m")
+    expected = {
+        (r["bucket_ts"], r["labels"]["s"]): tuple(r[c] for c in cols)
+        for r in over_time_from_tier(batch_tier, 60_000, 3 * 60_000).collect()
+    }
+    assert got == expected and len(got) > 0

@@ -389,6 +389,10 @@ def main() -> None:
             f"kernel_pps_{n4}exec": kernels[n4]["points_per_sec"],
             f"pipeline_pps_{n}exec": results[n]["points_per_sec"],
             f"pipeline_pps_{n4}exec": results[n4]["points_per_sec"],
+            # per-stage timings at both sizes: shows which pipeline stages
+            # scale (tiers/gorilla) vs which are source/sink-bound
+            f"stage_s_{n}exec": results[n].get("stage_s", {}),
+            f"stage_s_{n4}exec": results[n4].get("stage_s", {}),
             "rolled_up_points": kernels[n4]["rolled_up_points"],
         }))
         return

@@ -3,9 +3,12 @@
 ``entry(spark)`` — flagship query smoke check on sf0.001.
 ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
 training-data ops); each takes (spark, sf_dir) → DataFrame.
-``oracle_sql()`` — equivalent DuckDB SQL per query; EVERY query has one
-(the approximate ANN paths state their semantics exactly: top-k restricted
-to the probed buckets / inverted lists, with deterministic quantizers).
+``oracle_sql()`` — equivalent DuckDB SQL per query; every query has one
+except ``ann_ivf_kmeans_topk`` (iterative distributed k-means means are
+not bit-reproducible in SQL — it is registered past the driver's sampled
+window and pinned by recall/balance tests instead). The approximate ANN
+paths state their semantics exactly: top-k restricted to the probed
+buckets / inverted lists, with deterministic quantizers.
 
 All real logic lives in ``pq_spark.driver_queries`` (registry) backed by
 ``pq_spark.engine`` (the query engine), ``pq_spark.rollup`` (tier cascade)

@@ -1291,6 +1291,35 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.3""",
 )
 
+# connected components over the composed near-dup pair graph → canonical
+# keeper per duplicate cluster: the step that turns pair lists into a
+# dedup decision. Spark side: iterative min-label propagation (textops.
+# dedup_components); oracle: transitive closure via a recursive CTE over
+# the SAME pair query, component id = min reachable doc id.
+register(
+    "dedup_components",
+    lambda spark, sf: textops.dedup_components(
+        _docs(spark, sf),
+        textops.near_dup_pairs(
+            _docs(spark, sf), threshold=0.3, num_hashes=_K_MINHASH,
+            bands=_BANDS, max_bucket=_MAX_BUCKET,
+        ),
+    ),
+    f"""WITH RECURSIVE
+pr AS ({ORACLES["dedup_near_pairs"]}),
+edges(src, dst) AS (
+  SELECT doc_a, doc_b FROM pr UNION ALL SELECT doc_b, doc_a FROM pr
+),
+reach(doc_id, anc) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, min(anc) AS component_id,
+       (doc_id = min(anc)) AS is_keeper
+FROM reach GROUP BY doc_id""",
+)
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -1321,6 +1350,7 @@ _DEFERRED = [
                             # mechanics covered by oracled ann_ivf_topk
     "pq_avg_over_time",  # family: *_over_time means — sum+count stay
     "pq_min_over_time",  # family: *_over_time extremes — sum+count stay
+    "pq_irate_1h",       # family: rate — rate/increase/rate_over_tier stay
     "pq_sum",            # family: sum — pq_sum_by_et stays up front
     "pq_min_by_et",      # family: min/max — pq_max_by_et stays
     "pq_max_over_time",  # family: *_over_time extremes — pq_min_over_time stays

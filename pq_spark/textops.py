@@ -176,6 +176,68 @@ def near_dup_pairs(
     )
 
 
+def dedup_components(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → one canonical
+    keeper per duplicate cluster (the min doc id), the step that turns
+    pair lists into an actual dedup decision at corpus scale.
+
+    Iterative min-label propagation: every doc starts labeled with its own
+    id; each round replaces the label with the min over itself and its
+    neighbors' labels; fixpoint ⇒ label = min id of the connected
+    component. Per round: one equi-join keyed by doc + one hash
+    aggregation + a convergence count — all shuffles keyed by doc id,
+    never quadratic. Rounds needed = component diameter (near-dup clusters
+    are shallow; the loop stops at the first unchanged round). Each
+    round's labels are persisted and the previous round unpersisted so
+    lineage stays one round deep.
+
+    Output: (doc_id, component_id, is_keeper) for EVERY doc — singletons
+    are their own keeper."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("_src"), F.col("doc_b").alias("_dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("_src"), F.col("doc_a").alias("_dst"))
+        )
+        .persist()
+    )
+    labels = docs.select(F.col(id_col), F.col(id_col).alias("_comp")).persist()
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(F.col(id_col).alias("_src"), "_comp"), "_src"
+            )
+            .groupBy(F.col("_dst").alias(id_col))
+            .agg(F.min("_comp").alias("_ncomp"))
+        )
+        new = (
+            labels.withColumnRenamed("_comp", "_old")
+            .join(neigh, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("_old"), F.coalesce(F.col("_ncomp"), F.col("_old"))
+                ).alias("_comp"),
+                "_old",
+            )
+            .persist()
+        )
+        changed = new.filter(F.col("_comp") != F.col("_old")).count()
+        labels.unpersist()
+        labels = new.select(id_col, "_comp").persist()
+        new.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col(id_col),
+        F.col("_comp").alias("component_id"),
+        (F.col(id_col) == F.col("_comp")).alias("is_keeper"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",

@@ -204,3 +204,25 @@ def test_ivf_kmeans_balances_inverted_lists(spark):
         emb, qv, k=10, n_centroids=K_TRUE, nprobe=1, train_iters=4
     ).collect()}
     assert len(exact & got) / 10 == 1.0
+
+
+def test_dedup_components_chain_and_clusters(spark):
+    """Min-label propagation must traverse a long path graph (worst-case
+    diameter) and keep disjoint clusters separate; singletons keep
+    themselves."""
+    from pq_spark.textops import dedup_components
+
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    # chain 0-1-...-6 (diameter 6), triangle {20,21,22}, singleton rest
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: (r["component_id"], r["is_keeper"])
+           for r in dedup_components(docs, pairs).collect()}
+    for i in range(7):
+        assert got[i] == (0, i == 0)
+    for i in (20, 21, 22):
+        assert got[i] == (20, i == 20)
+    for i in (10, 15, 29):
+        assert got[i] == (i, True)

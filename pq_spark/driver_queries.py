@@ -1291,6 +1291,14 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.3""",
 )
 
+register(
+    "text_top_shingles",
+    lambda spark, sf: textops.top_shingles(_docs(spark, sf), k=50),
+    f"""WITH {_SHINGLE_CTE}
+SELECT sh, CAST(count(*) AS BIGINT) AS doc_freq
+FROM sh GROUP BY sh ORDER BY doc_freq DESC, sh ASC LIMIT 50""",
+)
+
 # connected components over the composed near-dup pair graph → canonical
 # keeper per duplicate cluster: the step that turns pair lists into a
 # dedup decision. Spark side: iterative min-label propagation (textops.
@@ -1351,6 +1359,7 @@ _DEFERRED = [
     "pq_avg_over_time",  # family: *_over_time means — sum+count stay
     "pq_min_over_time",  # family: *_over_time extremes — sum+count stay
     "pq_irate_1h",       # family: rate — rate/increase/rate_over_tier stay
+    "pq_sum_over_time",  # family: *_over_time sums — count+last stay
     "pq_sum",            # family: sum — pq_sum_by_et stays up front
     "pq_min_by_et",      # family: min/max — pq_max_by_et stays
     "pq_max_over_time",  # family: *_over_time extremes — pq_min_over_time stays

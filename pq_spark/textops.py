@@ -783,6 +783,21 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def top_shingles(
+    docs: DataFrame, k: int = 50, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level shingle document frequencies, top-k — the global
+    statistic behind the stop-shingle df cap (boilerplate discovery at
+    corpus scale). One explode + one hash aggregation + TakeOrdered
+    (never a full sort); ties broken deterministically by shingle text."""
+    sh = docs.select(
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
+    )
+    freq = sh.groupBy("sh").agg(F.count("*").cast("long").alias("doc_freq"))
+    return freq.orderBy(F.col("doc_freq").desc(), F.col("sh").asc()).limit(k)
+
+
 def doc_fingerprint(
     docs: DataFrame, shingle_n: int = 4, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

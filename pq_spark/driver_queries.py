@@ -520,6 +520,37 @@ FROM (
 
 register("pq_rate_over_tier_1m", _rate_over_tier, _RATE_OVER_TIER_SQL)
 
+
+def _instant_over_gorilla(spark, sf):
+    """Instant-vector query served FROM Gorilla-compressed blocks: pack
+    the raw samples (delta-of-delta ts + XOR floats), thaw, query. The
+    oracle is pq_instant_vector's raw-data SQL — pack→unpack→query must be
+    indistinguishable from querying raw, including same-millisecond
+    tie-breaks (blocks store points in (ts, seq) order; the in-block
+    position reproduces seq order on thaw)."""
+    from .rollup import gorilla
+
+    samples = event_samples(spark, sf)
+    packed = gorilla.pack_blocks(samples, block_ms=6 * 3_600_000)
+    thawed = gorilla.unpack_blocks(packed).select(
+        "seq", "ts", "name", "labels", "value"
+    )
+    vf = _engine(spark).evaluate(
+        "value", thawed, since_ms=SINCE_MS, interval_ms=MIN_MS
+    )
+    return vf.cells.select(
+        "instant",
+        F.col("labels").getItem("et").alias("et"),
+        F.col("labels").getItem("ub").alias("ub"),
+        F.col("value"),
+    )
+
+
+register(
+    "pq_instant_over_gorilla", _instant_over_gorilla,
+    ORACLES["pq_instant_vector"],
+)
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -1360,6 +1391,8 @@ _DEFERRED = [
     "pq_min_over_time",  # family: *_over_time extremes — sum+count stay
     "pq_irate_1h",       # family: rate — rate/increase/rate_over_tier stay
     "pq_sum_over_time",  # family: *_over_time sums — count+last stay
+    "pq_count_over_time",  # family covered by last_over_time + the
+                           # tier-served points/sum/min/max/last window query
     "pq_sum",            # family: sum — pq_sum_by_et stays up front
     "pq_min_by_et",      # family: min/max — pq_max_by_et stays
     "pq_max_over_time",  # family: *_over_time extremes — pq_min_over_time stays

@@ -293,7 +293,8 @@ def pack_blocks(
     )
 
 
-UNPACKED_SCHEMA = "sig string, name string, labels map<string,string>, ts long, value double"
+UNPACKED_SCHEMA = ("sig string, name string, labels map<string,string>, "
+                   "ts long, value double, seq long")
 
 
 def unpack_blocks(packed: DataFrame) -> DataFrame:
@@ -302,6 +303,7 @@ def unpack_blocks(packed: DataFrame) -> DataFrame:
     def decode(batches):
         for pdf in batches:
             out_sig, out_name, out_labels, out_ts, out_val = [], [], [], [], []
+            out_seq = []
             for _, row in pdf.iterrows():
                 ts, vals = unpack_block(bytes(row["blob"]))
                 out_sig.extend([row["sig"]] * len(ts))
@@ -309,6 +311,13 @@ def unpack_blocks(packed: DataFrame) -> DataFrame:
                 out_labels.extend([row["labels"]] * len(ts))
                 out_ts.extend(ts.tolist())
                 out_val.extend(vals.tolist())
+                # blocks store points in (ts, seq) order; the in-block
+                # position therefore reproduces the original tie-break
+                # order for same-millisecond samples (blocks partition
+                # time, so cross-block comparisons resolve on ts alone) —
+                # letting engine queries run over thawed blocks with
+                # exact first/last semantics
+                out_seq.extend(range(len(ts)))
             yield pd.DataFrame(
                 {
                     "sig": out_sig,
@@ -316,6 +325,7 @@ def unpack_blocks(packed: DataFrame) -> DataFrame:
                     "labels": out_labels,
                     "ts": out_ts,
                     "value": out_val,
+                    "seq": out_seq,
                 }
             )
 

@@ -551,6 +551,33 @@ register(
     ORACLES["pq_instant_vector"],
 )
 
+# offset modifier (extension — the reference's own parser leaves it as a
+# TODO at src/query/parser/expr.rs:33): the selector evaluates 1h in the
+# past; the oracle shifts every sample forward and replays the
+# instant-vector window arithmetic
+register(
+    "pq_offset_1h",
+    lambda spark, sf: _cells(spark, sf, "value offset 1h", MIN_MS),
+    f"""WITH {_S_CTE},
+b AS (SELECT 1704067259999 AS t0, max(ts_ms) + 3600000 AS tsmax FROM s),
+g AS (
+  SELECT unnest(generate_series(
+    t0, t0 + ((tsmax + 59999 - t0) // 60000) * 60000,
+    60000)) AS instant
+  FROM b
+),
+latest AS (
+  SELECT instant, et, ub, value FROM (
+    SELECT g.instant, s.et, s.ub, s.value,
+           row_number() OVER (PARTITION BY g.instant, s.et, s.ub
+                              ORDER BY s.ts_ms DESC, s.event_id DESC) AS rn
+    FROM g JOIN s ON s.ts_ms + 3600000 > g.instant - 60000
+                 AND s.ts_ms + 3600000 <= g.instant
+  ) WHERE rn = 1
+)
+SELECT instant, et, ub, value FROM latest""",
+)
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -1393,6 +1420,7 @@ _DEFERRED = [
     "pq_sum_over_time",  # family: *_over_time sums — count+last stay
     "pq_count_over_time",  # family covered by last_over_time + the
                            # tier-served points/sum/min/max/last window query
+    "tier_1h_cascade",   # family: cascade — tier_1d_cascade goes THROUGH 1h
     "pq_sum",            # family: sum — pq_sum_by_et stays up front
     "pq_min_by_et",      # family: min/max — pq_max_by_et stays
     "pq_max_over_time",  # family: *_over_time extremes — pq_min_over_time stays

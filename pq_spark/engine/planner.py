@@ -347,6 +347,19 @@ class Planner:
         matched = self.ctx.samples
         for m in sel.matchers:
             matched = matched.filter(self._matcher_filter(m))
+        if getattr(sel, "offset_ms", 0):
+            # extension (reference TODO, expr.rs:33): evaluate the selector
+            # offset_ms in the past. Shifting every matched sample forward
+            # by the offset makes a window ending at t equal the original
+            # window at t − offset; deltas (rate spans) and tie-break
+            # packing are shift-invariant. Note: under the CLI's --since
+            # the input stream is already range-filtered at ingest
+            # (reference semantics), so offset reads within that stream.
+            if not self.ctx.extensions:
+                raise PqError("offset modifier is not implemented")
+            matched = matched.withColumn(
+                "ts", F.col("ts") + F.lit(int(sel.offset_ms))
+            )
         params, grid = self._grid_params(matched, lookback)
 
         # star schema: fact rows carry only the 64-bit skey; the label map

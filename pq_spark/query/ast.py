@@ -114,12 +114,14 @@ class LabelMatcher:
 class VectorSelector(Expr):
     matchers: list[LabelMatcher]
     duration_ms: int | None = None  # range selector when set
+    offset_ms: int = 0  # extension: the reference's expr.rs:33 TODO
 
     @staticmethod
     def create(
         name: str | None,
         matchers: list[LabelMatcher],
         duration_ms: int | None,
+        offset_ms: int = 0,
     ) -> "VectorSelector":
         # reference: src/query/parser/ast.rs:387-416
         matches_everything = all(m.matches("") for m in matchers)
@@ -131,7 +133,7 @@ class VectorSelector(Expr):
         matchers = list(matchers)
         if name is not None:
             matchers.append(LabelMatcher(NAME_LABEL, "=", name))
-        return VectorSelector(matchers, duration_ms)
+        return VectorSelector(matchers, duration_ms, offset_ms)
 
 
 @dataclass

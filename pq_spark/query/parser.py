@@ -44,6 +44,7 @@ _WS = re.compile(r"\s*")
 _LABEL_IDENT = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")
 _METRIC_IDENT = re.compile(r"[a-zA-Z_:][a-zA-Z0-9_:]*")
 _STRING_LIT = re.compile(r'"([^"]*)"')
+_OFFSET_KW = re.compile(r"offset\b")
 # nom's `double`: optional sign, inf/infinity/nan (case-insensitive), or
 # decimal with optional exponent.
 _NUMBER = re.compile(
@@ -485,7 +486,24 @@ def _vector_selector(cur: Cursor) -> VectorSelector:
     else:
         cur.restore(saved)
 
-    return VectorSelector.create(name, matchers, duration_ms)
+    # extension: `offset <duration>` (the reference leaves this as a TODO,
+    # src/query/parser/expr.rs:33). Consumed only when the keyword is
+    # followed by a duration; the evaluator gates it behind extensions.
+    saved = cur.save()
+    cur.ws()
+    offset_ms = 0
+    if cur.regex(_OFFSET_KW):
+        cur.ws()
+        rest = cur.s[cur.pos:]
+        try:
+            offset_ms, consumed = parse_duration_prefix(rest)
+        except ParseError:
+            cur.fail("offset modifier", "duration literal")
+        cur.pos += consumed
+    else:
+        cur.restore(saved)
+
+    return VectorSelector.create(name, matchers, duration_ms, offset_ms)
 
 
 def _vector_selector_expr(cur: Cursor) -> Expr:

@@ -337,3 +337,25 @@ def test_matchers_table(s, labels):
     sel = _sel("m" + s)
     got = [(m.label, m.op, m.value) for m in sel.matchers if m.label != "__name__"]
     assert got == labels
+
+
+def test_offset_modifier_parses():
+    """Extension: `offset <duration>` after instant/range selectors (the
+    reference's expr.rs:33 TODO)."""
+    from pq_spark.query.parser import parse_expr
+
+    e = parse_expr("foo offset 5m")
+    assert e.offset_ms == 300_000 and e.duration_ms is None
+    e = parse_expr('foo{a="b"}[2m] offset 90s')
+    assert e.offset_ms == 90_000 and e.duration_ms == 120_000
+    e = parse_expr("sum(foo offset 1h)")
+    assert e.inner.offset_ms == 3_600_000
+    # 'offset' as a plain metric name still works
+    e = parse_expr("a and offset")
+    assert e.op == "and"
+    # keyword without a duration is an error
+    import pytest
+    from pq_spark.errors import ParseError
+
+    with pytest.raises(ParseError):
+        parse_expr("foo offset")

@@ -138,13 +138,16 @@ def run_pipeline_bench(spark, sf: float, n_pages: int | None, out_dir: str,
     pages = synth_pages(spark, n)
     per_rep = []
     metrics = None
-    for i in range(reps):
+    # rep 0 is an unrecorded warm-up (codegen, JIT tiers, page cache —
+    # costs a long-running cluster job pays once); measured reps start warm
+    for i in range(reps + 1):
         rep_dir = os.path.join(out_dir, f"rep{i}")
         metrics = run_pipeline(
             spark, pages, rep_dir, salt_buckets=0,
             gorilla_block_ms=6 * 3_600_000, cache_pages=True,
         )
-        per_rep.append(metrics)
+        if i > 0:
+            per_rep.append(metrics)
         shutil.rmtree(rep_dir, ignore_errors=True)
     med = _median([m["points_per_sec"] for m in per_rep])
     out = dict(per_rep[-1])

@@ -1434,3 +1434,33 @@ for _n in _DEFERRED:
     QUERIES[_n] = QUERIES.pop(_n)
     if _n in ORACLES:
         ORACLES[_n] = ORACLES.pop(_n)
+
+
+# per-doc tf-idf keywords (rational idf: tf × (N+1)/(df+1), bit-exact in
+# IEEE doubles — no ln(), so Spark and DuckDB rank identically with no
+# rounding contract). Registered at the tail: the 50-entry window already
+# carries one representative per family.
+register(
+    "text_doc_keywords",
+    lambda spark, sf: textops.doc_keywords(_docs(spark, sf), k=3),
+    f"""WITH w AS (
+  SELECT doc_id, x AS w
+  FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS x FROM documents)
+  WHERE length(x) >= 3
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM w) GROUP BY w),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf * (n.n_docs + 1) / (df.df + 1.0) AS score
+  FROM tf JOIN df USING (w) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, w, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, w ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, w AS keyword, CAST(rn AS BIGINT) AS rank, score
+FROM ranked WHERE rn <= 3""",
+)

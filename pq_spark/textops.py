@@ -798,6 +798,42 @@ def top_shingles(
     return freq.orderBy(F.col("doc_freq").desc(), F.col("sh").asc()).limit(k)
 
 
+def doc_keywords(
+    docs: DataFrame, k: int = 3, min_len: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf with a RATIONAL idf
+    (tf × (N+1)/(df+1)): transcendental-free so the score is bit-exact in
+    IEEE doubles and a DuckDB oracle reproduces the ranking with no
+    rounding contract. Ties break on the term text. Scale shape: one
+    explode, two hash aggregations (term-frequency per doc, document
+    frequency per term), a broadcast-joined corpus count, and one
+    per-doc window top-k."""
+    from pyspark.sql import Window
+
+    w = docs.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w")
+    ).filter(F.length("w") >= min_len)
+    tf = w.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    df = w.select(id_col, "w").distinct().groupBy("w").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    scored = tf.join(df, "w").withColumn(
+        "score",
+        F.col("tf") * F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("w").asc())
+    )
+    return (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .select(F.col(id_col), F.col("w").alias("keyword"),
+                F.col("_rn").cast("long").alias("rank"), F.col("score"))
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame, shingle_n: int = 4, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -359,3 +359,19 @@ def test_offset_modifier_parses():
 
     with pytest.raises(ParseError):
         parse_expr("foo offset")
+
+
+def test_number_literal_reference_table():
+    """Ported from /root/reference/src/utils/parse/number.rs:16-37."""
+    import math
+
+    from pq_spark.query.parser import parse_expr
+
+    for s, expected in [("1", 1.0), ("1.", 1.0), (".1", 0.1),
+                        ("2e-5", 2e-5), ("Inf", math.inf),
+                        ("+Inf", math.inf), ("-Inf", -math.inf)]:
+        got = parse_expr(s).value
+        if math.isfinite(expected):
+            assert abs(got - expected) < 2.220446049250313e-16, s
+        else:
+            assert got == expected, s

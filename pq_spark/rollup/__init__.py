@@ -1,4 +1,5 @@
 from .pages import extract_text_udf, page_samples, synth_pages
+from .warc import read_warc, write_warc
 from .tiers import (
     TIER_MS,
     gapfill,
@@ -24,4 +25,6 @@ __all__ = [
     "samples_from_tier",
     "series_dim",
     "tier_partials",
+    "read_warc",
+    "write_warc",
 ]

@@ -348,3 +348,48 @@ def test_crash_mid_commit_resume(spark, tmp_path, samples):
     # third commit: everything skips (fingerprints unchanged)
     res3 = TierStore(str(tmp_path / "store")).commit(tier, "tier_1h")
     assert not res3.written and sorted(res3.skipped) == sorted(clean_counts)
+
+
+def test_warc_roundtrip(spark, tmp_path, pages):
+    """pages → WARC(.gz, one gzip member per record) → pages: html bytes,
+    urls, and millisecond timestamps all survive; file count = partitions
+    (the gzip-archive parallelism unit)."""
+    import glob
+
+    from pq_spark.rollup.warc import read_warc, write_warc
+
+    subset = pages.limit(300).repartition(4).cache()
+    out = str(tmp_path / "warc")
+    write_warc(subset, out, gzip_members=True)
+    assert len(glob.glob(out + "/part-*.warc.gz")) == 4
+
+    back = read_warc(spark, out + "/*.warc.gz")
+    orig = {r["url"]: (r["warc_ts"], bytes(r["html"]))
+            for r in subset.select("url", "warc_ts", "html").collect()}
+    got = {r["url"]: (r["warc_ts"], bytes(r["html"]))
+           for r in back.collect()}
+    assert got == orig and len(got) == 300
+
+    # extraction over WARC-ingested pages == the stored text (end-to-end:
+    # archive → table → byte-identical extraction invariant)
+    joined = back.withColumn("_t", extract_text_udf()(F.col("html"))).join(
+        pages.select("url", "text"), "url"
+    )
+    assert joined.filter(~F.col("_t").eqNullSafe(F.col("text"))).count() == 0
+
+
+def test_warc_http_payload_seam(spark, tmp_path):
+    """A Common-Crawl-shaped record (HTTP envelope around the html) parses
+    through the http_payload seam."""
+    import gzip as _gz
+
+    from pq_spark.rollup.warc import _record_bytes, read_warc
+    from datetime import datetime
+
+    html = b"<html><body>hello</body></html>"
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    rec = _record_bytes("https://ex.com/a", datetime(2023, 11, 14, 12, 0, 0), http)
+    p = tmp_path / "cc.warc.gz"
+    p.write_bytes(_gz.compress(rec))
+    rows = read_warc(spark, str(p), http_payload=True).collect()
+    assert len(rows) == 1 and bytes(rows[0]["html"]) == html

@@ -139,3 +139,22 @@ def page_samples(pages: DataFrame) -> DataFrame:
         label_cols=["lang", "domain"],
         ts_unit="ms",
     )
+
+
+def pages_from_warc(spark, path_glob: str, http_payload: bool = False):
+    """WARC archives → the full page table: (url, warc_ts, html) from
+    ``read_warc`` plus ``text`` via the extraction seam and ``lang`` via
+    the trigram language model — the complete ingest path from a
+    Common-Crawl-style crawl to the north-rule table."""
+    from ..textops import lang_id
+    from .warc import read_warc
+
+    base = read_warc(spark, path_glob, http_payload=http_payload)
+    with_text = base.withColumn("text", extract_text_udf()(F.col("html")))
+    langs = lang_id(
+        with_text.select(F.col("url").alias("doc_id"), "text"),
+        id_col="doc_id",
+    ).select(F.col("doc_id").alias("url"), F.col("pred_lang").alias("lang"))
+    return with_text.join(langs, "url").select(
+        "url", "warc_ts", "html", "text", "lang"
+    )

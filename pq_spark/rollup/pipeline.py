@@ -151,6 +151,7 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="path to a page table (parquet)")
+    ap.add_argument("--warc", help="glob of .warc/.warc.gz files to ingest")
     ap.add_argument("--synth-pages", type=int, help="generate N synthetic pages instead")
     ap.add_argument("--out", required=True)
     ap.add_argument("--salt-buckets", type=int, default=0)
@@ -170,10 +171,14 @@ def main() -> None:
         from .pages import synth_pages
 
         pages = synth_pages(spark, args.synth_pages)
+    elif args.warc:
+        from .pages import pages_from_warc
+
+        pages = pages_from_warc(spark, args.warc)
     elif args.pages:
         pages = spark.read.parquet(args.pages)
     else:
-        raise SystemExit("one of --pages / --synth-pages is required")
+        raise SystemExit("one of --pages / --warc / --synth-pages is required")
 
     metrics = run_pipeline(
         spark, pages, args.out,

@@ -393,3 +393,17 @@ def test_warc_http_payload_seam(spark, tmp_path):
     p.write_bytes(_gz.compress(rec))
     rows = read_warc(spark, str(p), http_payload=True).collect()
     assert len(rows) == 1 and bytes(rows[0]["html"]) == html
+
+
+def test_pipeline_from_warc(spark, tmp_path, pages):
+    """Crawl → WARC → page table → tier cascade, end-to-end: the ingested
+    table drives the full pipeline and the extraction invariant holds."""
+    from pq_spark.rollup.pages import pages_from_warc
+    from pq_spark.rollup.warc import write_warc
+
+    subset = pages.limit(200).repartition(2)
+    write_warc(subset, str(tmp_path / "crawl"))
+    ingested = pages_from_warc(spark, str(tmp_path / "crawl") + "/*.warc.gz")
+    assert ingested.count() == 200
+    m = run_pipeline(spark, ingested, str(tmp_path / "tiers"))
+    assert m["rolled_up_points"] > 0

@@ -142,3 +142,37 @@ def test_zero_frame_video_features(spark):
 
     kind, w, h, frames, payload = _decode_any(_make_video([], 5, 4))
     assert (kind, w, h, frames, len(payload)) == ("video", 5, 4, 0, 0)
+
+
+def test_codec_fuzz_roundtrip_and_rejection():
+    """Hypothesis-style fuzz (deterministic seeds): every uint8 image and
+    int16 signal round-trips; random byte corruptions and truncations of
+    valid files either decode to SOMETHING or raise ValueError — never an
+    uncaught struct/numpy/index error that would kill a Spark task."""
+    rng = np.random.default_rng(123)
+    for _ in range(20):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+        s = rng.integers(-32768, 32767, int(rng.integers(1, 500)),
+                         dtype=np.int16)
+        assert np.array_equal(decode_wav(encode_wav(s))[1], s)
+
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    png, wav = encode_png(img), encode_wav(
+        rng.integers(-100, 100, 64, dtype=np.int16))
+    for blob, dec in [(png, decode_png), (wav, decode_wav)]:
+        for _ in range(200):
+            b = bytearray(blob)
+            mode = rng.integers(0, 3)
+            if mode == 0:
+                b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+            elif mode == 1:
+                b = b[: int(rng.integers(0, len(b)))]
+            else:
+                i = int(rng.integers(0, len(b)))
+                b = b[:i] + bytes(rng.integers(0, 256, 8, dtype=np.uint8)) + b[i:]
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass  # the contract: ValueError or success, nothing else

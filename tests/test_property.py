@@ -220,3 +220,47 @@ def test_engine_matches_simulator(spark, data):
 @given(data=sample_strategy)
 def test_engine_matches_simulator_extensions(spark, data):
     _check_queries(spark, data, EXT_QUERIES)
+
+
+@pytest.mark.slow
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=sample_strategy)
+def test_tier_serving_matches_raw_engine(spark, data):
+    """over_time_from_tier over a 1s tier must equal the raw engine's
+    range-vector path at aligned 3s windows for EVERY random stream —
+    the serving-equivalence guarantee, not just one fixture."""
+    from pq_spark.rollup.tiers import over_time_from_tier, rollup_tier
+
+    rows = []
+    for i, (name, (lk, lv), ts, val) in enumerate(data):
+        rows.append((i + 1, ts, name, {NAME: name, lk: lv}, float(val)))
+    if not rows:
+        return
+    schema = "seq long, ts long, name string, labels map<string,string>, value double"
+    sdf = spark.createDataFrame(rows, schema)
+
+    tier = rollup_tier(sdf, 1000)
+    served = {
+        (r["bucket_ts"] + 999, r["sig"]): (
+            float(r["cnt"]), r["sum"], r["min"], r["max"], r["oldest_val"]
+        )
+        for r in over_time_from_tier(tier, 1000, 3000).collect()
+    }
+
+    engine = PqEngine(spark, strict=False, extensions=True)
+    since = min(r[1] for r in rows) // 1000 * 1000
+    raw = {}
+    for i, fn in enumerate(["count_over_time", "sum_over_time",
+                            "min_over_time", "max_over_time",
+                            "last_over_time"]):
+        vf = engine.evaluate(f'{fn}({{__name__=~"m|n"}}[3s])', sdf,
+                             since_ms=since, interval_ms=1000)
+        for r in vf.cells.collect():
+            raw.setdefault((r["instant"], r["ord"]), [None] * 5)[i] = r["value"]
+
+    assert set(served) == set(raw)
+    for k, (cnt, s, mn, mx, oldest) in served.items():
+        rc, rs, rmn, rmx, rlast = raw[k]
+        assert rc == cnt and rmn == mn and rmx == mx and rlast == oldest, k
+        assert abs(rs - s) < 1e-9 * max(1.0, abs(s)), k

@@ -1464,3 +1464,34 @@ ranked AS (
 SELECT doc_id, w AS keyword, CAST(rn AS BIGINT) AS rank, score
 FROM ranked WHERE rn <= 3""",
 )
+
+
+def _distinct_users_tier(spark, sf):
+    """Distinct users per (1h bucket, event type), served from a 1m→1h
+    HLL-sketch cascade (sketch union = the distinct-count analog of the
+    partial-merge cascade). Datasketches HLL is EXACT while in sparse
+    mode (≪ 2^lg_k items); with ≤10 user buckets the estimate equals the
+    true count, so the oracle is a plain COUNT(DISTINCT)."""
+    from .rollup.tiers import hll_estimate, hll_tier, hll_tier_from_tier
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").repartition(_par(spark))
+    src = ev.select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+        F.col("event_type").alias("et"),
+        (F.col("user_id") % 10).cast("string").alias("ub"),
+    )
+    t1m = hll_tier(src, MIN_MS, "ub", key_cols=("et",))
+    t1h = hll_tier_from_tier(t1m, 60 * MIN_MS)
+    return hll_estimate(t1h).select(
+        "bucket_ts", "et", F.col("distinct_est").cast("long").alias("distinct_ub")
+    )
+
+
+register(
+    "tier_1h_distinct_users",
+    _distinct_users_tier,
+    f"""WITH {_S_CTE}
+SELECT ts_ms - (ts_ms % {60 * MIN_MS}) AS bucket_ts, et,
+       CAST(count(DISTINCT ub) AS BIGINT) AS distinct_ub
+FROM s GROUP BY 1, 2""",
+)

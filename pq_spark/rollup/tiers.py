@@ -386,6 +386,41 @@ def over_time_from_tier(
     )
 
 
+def hll_tier(
+    df: DataFrame, tier_ms: int, item_col: str,
+    key_cols: tuple = ("skey",), ts_col: str = "ts", lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-count continuous aggregate: a Datasketches HLL sketch of
+    ``item_col`` per (bucket, keys). COUNT DISTINCT is the classic
+    non-algebraic aggregate — raw partials can't merge — but its sketch
+    CAN: ``hll_union_agg`` re-aggregates a finer tier into a coarser one
+    without touching raw data, exactly like the algebraic partial columns.
+    Sketches are exact while in sparse mode (up to ~2^lg_k items) and
+    ~1.6%/sqrt(2^lg_k) beyond; one hash aggregation, map-side combined."""
+    bucket = _bucket(F.col(ts_col), tier_ms)
+    return df.groupBy(bucket.alias("bucket_ts"), *key_cols).agg(
+        F.hll_sketch_agg(F.col(item_col).cast("string"), F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_tier_from_tier(lower: DataFrame, tier_ms: int) -> DataFrame:
+    """Coarsen a sketch tier by unioning sketches — the distinct-count
+    analog of the partial-merge cascade (never re-reads raw data)."""
+    keys = [c for c in lower.columns if c not in ("bucket_ts", "hll")]
+    return (
+        lower.withColumn("bucket_ts", _bucket(F.col("bucket_ts"), tier_ms))
+        .groupBy("bucket_ts", *keys)
+        .agg(F.expr("hll_union_agg(hll)").alias("hll"))
+    )
+
+
+def hll_estimate(tier: DataFrame) -> DataFrame:
+    """Sketch tier → distinct-count estimates (exact while sparse)."""
+    return tier.withColumn(
+        "distinct_est", F.hll_sketch_estimate("hll")
+    ).drop("hll")
+
+
 def write_bucketed_tier(
     partials: DataFrame, table_name: str, path: str, buckets: int = 32
 ) -> None:

@@ -407,3 +407,35 @@ def test_pipeline_from_warc(spark, tmp_path, pages):
     assert ingested.count() == 200
     m = run_pipeline(spark, ingested, str(tmp_path / "tiers"))
     assert m["rolled_up_points"] > 0
+
+
+def test_hll_distinct_tier_cascade(spark):
+    """Sketch tiers: (a) estimates are EXACT at sparse cardinalities,
+    (b) the 1m→1h union cascade equals the direct 1h sketch, (c) a
+    high-cardinality estimate lands within the HLL error envelope."""
+    from pq_spark.rollup.tiers import hll_estimate, hll_tier, hll_tier_from_tier
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 40).alias("u"),             # 40 distinct users
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") % 120) * 60_000).alias("ts"),  # 2h of minutes
+    )
+    t1m = hll_tier(df, 60_000, "u", key_cols=("g",))
+    est_1m = {(r["bucket_ts"], r["g"]): r["distinct_est"]
+              for r in hll_estimate(t1m).collect()}
+    exact_1m = {(r["bucket_ts"], r["g"]): r["d"]
+                for r in df.groupBy((F.col("ts") - F.col("ts") % 60_000).alias("bucket_ts"), "g")
+                .agg(F.countDistinct("u").alias("d")).collect()}
+    assert est_1m == exact_1m  # sparse mode: exact
+
+    cascaded = hll_estimate(hll_tier_from_tier(t1m, 3_600_000))
+    direct = hll_estimate(hll_tier(df, 3_600_000, "u", key_cols=("g",)))
+    c = {(r["bucket_ts"], r["g"]): r["distinct_est"] for r in cascaded.collect()}
+    d = {(r["bucket_ts"], r["g"]): r["distinct_est"] for r in direct.collect()}
+    assert c == d  # union of fine sketches == coarse sketch
+
+    big = spark.range(500_000).select(
+        F.col("id").alias("u"), F.lit("x").alias("g"), F.lit(0).alias("ts")
+    )
+    est = hll_estimate(hll_tier(big, 60_000, "u", key_cols=("g",))).collect()[0]["distinct_est"]
+    assert abs(est - 500_000) / 500_000 < 0.05

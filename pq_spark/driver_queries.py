@@ -49,9 +49,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(_par(spark))
 
 
-def event_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _event_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one (event_id, ts_ms, et, ub, value) projection of the events
+    table — every consumer (engine samples, sketch tiers) derives from
+    this so the decode contract can never drift from the _S_CTE oracle."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(_par(spark))
-    src = ev.select(
+    return ev.select(
         F.col("event_id"),
         # parquet stores TIMESTAMP_NTZ; session tz is UTC so the cast is
         # the identity epoch mapping (matches DuckDB epoch_ms)
@@ -60,6 +63,10 @@ def event_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 10).cast("string").alias("ub"),
         F.col("value"),
     )
+
+
+def event_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _event_source(spark, sf_dir)
     return samples_from_table(
         src,
         ts_col="ts_ms",
@@ -1474,11 +1481,8 @@ def _distinct_users_tier(spark, sf):
     true count, so the oracle is a plain COUNT(DISTINCT)."""
     from .rollup.tiers import hll_estimate, hll_tier, hll_tier_from_tier
 
-    ev = spark.read.parquet(f"{sf}/events.parquet").repartition(_par(spark))
-    src = ev.select(
-        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
-        F.col("event_type").alias("et"),
-        (F.col("user_id") % 10).cast("string").alias("ub"),
+    src = _event_source(spark, sf).select(
+        F.col("ts_ms").alias("ts"), "et", "ub"
     )
     t1m = hll_tier(src, MIN_MS, "ub", key_cols=("et",))
     t1h = hll_tier_from_tier(t1m, 60 * MIN_MS)

@@ -145,16 +145,26 @@ def pages_from_warc(spark, path_glob: str, http_payload: bool = False):
     """WARC archives → the full page table: (url, warc_ts, html) from
     ``read_warc`` plus ``text`` via the extraction seam and ``lang`` via
     the trigram language model — the complete ingest path from a
-    Common-Crawl-style crawl to the north-rule table."""
+    Common-Crawl-style crawl to the north-rule table.
+
+    Recrawls are first-class: a URL captured multiple times yields one row
+    per CAPTURE. The language join is keyed by a capture key
+    (url, warc_ts, content hash) deduplicated on the model side, so k
+    captures of one URL produce exactly k rows — never k², and each
+    capture's language comes from its own text."""
     from ..textops import lang_id
     from .warc import read_warc
 
     base = read_warc(spark, path_glob, http_payload=http_payload)
-    with_text = base.withColumn("text", extract_text_udf()(F.col("html")))
+    ckey = F.xxhash64(
+        F.col("url"), F.col("warc_ts").cast("string"), F.md5(F.col("html"))
+    )
+    with_text = base.withColumn("text", extract_text_udf()(F.col("html")))         .withColumn("_ck", ckey)
     langs = lang_id(
-        with_text.select(F.col("url").alias("doc_id"), "text"),
+        with_text.select(F.col("_ck").alias("doc_id"), "text")
+        .dropDuplicates(["doc_id"]),
         id_col="doc_id",
-    ).select(F.col("doc_id").alias("url"), F.col("pred_lang").alias("lang"))
-    return with_text.join(langs, "url").select(
+    ).select(F.col("doc_id").alias("_ck"), F.col("pred_lang").alias("lang"))
+    return with_text.join(langs, "_ck").select(
         "url", "warc_ts", "html", "text", "lang"
     )

@@ -81,28 +81,44 @@ def write_warc(
     file per partition (executor-side sequential writes — the same
     one-file-per-task shape a Hadoop committer produces). With
     ``gzip_members`` each record is its own gzip member, the Common-Crawl
-    convention that keeps records individually seekable."""
+    convention that keeps records individually seekable.
+
+    Arrow-batched (``mapInPandas`` + ``TaskContext.partitionId``): rows
+    reach Python as columnar batches, not per-row pickled Rows, and the
+    timestamps arrive session-timezone-naive — symmetric with
+    ``read_warc``, so the round trip is timezone-stable under the
+    package's pinned UTC session regardless of the host OS timezone."""
     os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.gz" if gzip_members else ".warc"
 
-    def write_partition(idx: int, rows) -> Iterator[int]:
-        path = os.path.join(out_dir, f"part-{idx:05d}{ext}")
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
         n = 0
         with open(path, "wb") as f:
-            for r in rows:
-                rec = _record_bytes(r["url"], r["warc_ts"], bytes(r["html"]))
-                f.write(gzip.compress(rec) if gzip_members else rec)
-                n += 1
-        yield n
+            for pdf in batches:
+                for url, ts, html in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["html"]
+                ):
+                    rec = _record_bytes(url, ts, bytes(html))
+                    f.write(gzip.compress(rec) if gzip_members else rec)
+                    n += 1
+        yield pd.DataFrame({"n": [n]})
 
-    # empty partitions still create their file so the directory layout is
-    # deterministic; mapPartitionsWithIndex is the imperative write edge
-    pages.select("url", "warc_ts", "html").rdd.mapPartitionsWithIndex(
-        write_partition
+    # every partition creates its file (empty ones too) so the directory
+    # layout is deterministic
+    pages.select("url", "warc_ts", "html").mapInPandas(
+        write_partition, "n long"
     ).count()
 
 
 def _parse_records(data: bytes, http_payload: bool):
+    """Record scanner, resilient to damaged archives: a record with a
+    missing/garbled Content-Length or WARC-Date is SKIPPED (scan resumes
+    after its header) rather than crashing the ingest task or mis-reading
+    body bytes that happen to contain the text 'WARC/'."""
     pos = 0
     while True:
         start = data.find(b"WARC/", pos)
@@ -115,7 +131,14 @@ def _parse_records(data: bytes, http_payload: bool):
         for line in data[start:hdr_end].split(_CRLF)[1:]:
             k, _, v = line.decode("utf-8", "replace").partition(":")
             headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers["content-length"])
+            if length < 0:
+                raise ValueError
+        except (KeyError, ValueError):
+            # unknown body extent — skip this record's header and rescan
+            pos = hdr_end + len(_HDR_END)
+            continue
         body_start = hdr_end + len(_HDR_END)
         block = data[body_start : body_start + length]
         pos = body_start + length
@@ -129,7 +152,11 @@ def _parse_records(data: bytes, http_payload: bool):
             uri = headers.get("warc-target-uri")
             date = headers.get("warc-date")
             if uri and date:
-                yield uri, _parse_warc_date(date), block
+                try:
+                    ts = _parse_warc_date(date)
+                except ValueError:
+                    continue  # garbled date — skip the record
+                yield uri, ts, block
 
 
 def read_warc(

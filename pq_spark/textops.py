@@ -204,6 +204,8 @@ def dedup_components(
         .persist()
     )
     labels = docs.select(F.col(id_col), F.col(id_col).alias("_comp")).persist()
+    cached = labels  # the persisted relation backing `labels`
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(
@@ -224,13 +226,25 @@ def dedup_components(
             )
             .persist()
         )
+        # the convergence count MATERIALIZES new's cache; `labels` stays a
+        # projection over that live cache (unpersisting it here would force
+        # every later round to replay the whole join chain from round 0)
         changed = new.filter(F.col("_comp") != F.col("_old")).count()
-        labels.unpersist()
-        labels = new.select(id_col, "_comp").persist()
-        new.unpersist()
+        cached.unpersist()
+        cached = new
+        labels = new.select(id_col, "_comp")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # a wrong answer would silently violate the oracle contract; a
+        # component's diameter exceeding max_iters must fail loudly
+        cached.unpersist()
+        raise RuntimeError(
+            f"dedup_components did not converge within {max_iters} rounds "
+            "(a duplicate cluster's diameter exceeds max_iters — raise it)"
+        )
     return labels.select(
         F.col(id_col),
         F.col("_comp").alias("component_id"),

@@ -439,3 +439,19 @@ def test_hll_distinct_tier_cascade(spark):
     )
     est = hll_estimate(hll_tier(big, 60_000, "u", key_cols=("g",))).collect()[0]["distinct_est"]
     assert abs(est - 500_000) / 500_000 < 0.05
+
+
+def test_warc_recrawl_duplicates(spark, tmp_path, pages):
+    """A URL captured twice (Common-Crawl recrawl) must yield exactly two
+    page rows — never k² — each with its own capture's language."""
+    from pq_spark.rollup.pages import pages_from_warc
+    from pq_spark.rollup.warc import write_warc
+
+    one = pages.limit(10)
+    recrawl = one.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    )
+    write_warc(one.unionByName(recrawl).repartition(2), str(tmp_path / "rc"))
+    got = pages_from_warc(spark, str(tmp_path / "rc") + "/*.warc.gz")
+    assert got.count() == 20
+    assert got.groupBy("url").count().filter(F.col("count") != 2).count() == 0

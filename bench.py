@@ -123,43 +123,93 @@ def _control_probe(spark) -> float:
     return time.time() - t0
 
 
+DRIFT_MAX = 1.3   # a measurement window is "quiet" if its bracketing control
+                  # probes are within this factor of the best probe seen
+MAX_EXTRA_REPS = 4  # bounded retry budget for noisy windows
+
+
+def _accepted_windows(probes: list[float], n_atts: int) -> list[int]:
+    """Indices of attempts whose bracketing probes (before = probes[i],
+    after = probes[i+1]) are both ≤ DRIFT_MAX × the best probe seen.
+    The probe is fixed pure-JVM compute, so any probe above that band
+    means the host was busy while the neighbouring attempt ran."""
+    minp = min(probes)
+    return [
+        i for i in range(n_atts)
+        if max(probes[i], probes[i + 1]) <= DRIFT_MAX * minp
+    ]
+
+
+def _select_reps(probes: list[float], n_atts: int, reps: int) -> list[int]:
+    """Final selection: the drift-accepted windows, or (if the retry budget
+    ran out before ``reps`` quiet windows appeared) the ``reps`` quietest
+    attempts by bracketing-probe max — honest fallback, flagged in the
+    artifact via the recorded drift."""
+    acc = _accepted_windows(probes, n_atts)
+    if len(acc) >= min(reps, n_atts):
+        return acc
+    return sorted(range(n_atts), key=lambda i: max(probes[i], probes[i + 1]))[:reps]
+
+
 def run_pipeline_bench(spark, sf: float, n_pages: int | None, out_dir: str,
                        reps: int = 3) -> dict:
     """North-rule pipeline at a page count proportional to sf.
 
-    Runs ``reps`` full repetitions (fresh output dir each) and reports the
-    MEDIAN throughput: a single rep is at the mercy of host-noise windows
-    (measured 2-20× drift on identical code in round 2 — BENCH/BASELINE.md),
-    and one bad window must not produce a misleading official artifact."""
+    SELF-CERTIFYING protocol (round-3 verdict item 1): every repetition is
+    bracketed by a fixed pure-JVM control probe; a rep counts only if both
+    bracketing probes are within DRIFT_MAX of the best probe (i.e. the host
+    was quiet while it ran). Noisy reps are re-run (bounded by
+    MAX_EXTRA_REPS) and recorded in the JSON as rejected — the artifact
+    carries its own evidence instead of needing a quiet-window addendum.
+    Round-2/3 measured 2-20× host drift on identical code; the official
+    r03 snapshot had reps spreading 9.9k-24.5k pps inside one run."""
     from pq_spark.rollup.pages import synth_pages
     from pq_spark.rollup.pipeline import run_pipeline
 
     n = n_pages if n_pages is not None else max(int(sf * 4_000_000), 20_000)
     pages = synth_pages(spark, n)
-    per_rep = []
-    metrics = None
-    # rep 0 is an unrecorded warm-up (codegen, JIT tiers, page cache —
-    # costs a long-running cluster job pays once); measured reps start warm
-    for i in range(reps + 1):
-        rep_dir = os.path.join(out_dir, f"rep{i}")
-        metrics = run_pipeline(
+
+    def one_rep(tag):
+        rep_dir = os.path.join(out_dir, f"rep{tag}")
+        m = run_pipeline(
             spark, pages, rep_dir, salt_buckets=0,
             gorilla_block_ms=6 * 3_600_000, cache_pages=True,
         )
-        if i > 0:
-            per_rep.append(metrics)
         shutil.rmtree(rep_dir, ignore_errors=True)
+        return m
+
+    # unrecorded warm-up (codegen, JIT tiers, page cache — costs a
+    # long-running cluster job pays once); measured reps start warm
+    one_rep("warm")
+    attempts: list[dict] = []
+    probes = [round(_control_probe(spark), 3)]
+    while len(attempts) < reps + MAX_EXTRA_REPS:
+        attempts.append(one_rep(len(attempts)))
+        probes.append(round(_control_probe(spark), 3))
+        if len(_accepted_windows(probes, len(attempts))) >= reps:
+            break
+    chosen = _select_reps(probes, len(attempts), reps)
+    per_rep = [attempts[i] for i in chosen]
+    bracket = [p for i in chosen for p in (probes[i], probes[i + 1])]
+
     med = _median([m["points_per_sec"] for m in per_rep])
-    out = dict(per_rep[-1])
+    # stage timeline from the accepted rep closest to the median — the r03
+    # artifact took the LAST rep, which happened to be its noisiest
+    stage_rep = min(per_rep, key=lambda m: abs(m["points_per_sec"] - med))
+    out = dict(stage_rep)
     out["points_per_sec"] = med
     out["elapsed_s"] = _median([m["elapsed_s"] for m in per_rep])
     out["pipeline_pps_reps"] = [round(m["points_per_sec"], 1) for m in per_rep]
+    out["pipeline_pps_rejected"] = [
+        round(attempts[i]["points_per_sec"], 1)
+        for i in range(len(attempts)) if i not in chosen
+    ]
+    out["pipeline_probe_s"] = probes
+    out["pipeline_drift"] = round(max(bracket) / max(min(probes), 1e-9), 2)
     out["n_pages"] = n
-    # per-stage timeline (last rep) — shows WHERE pipeline time sits
-    # (extraction-verify and sink commits vs the rollup compute itself)
     out["stage_s"] = {
         k: round(v["elapsed_s"], 3)
-        for k, v in per_rep[-1]["stages"].items()
+        for k, v in stage_rep["stages"].items()
         if isinstance(v, dict) and "elapsed_s" in v
     }
     return out
@@ -171,9 +221,9 @@ def run_query_bench(spark, sf_dir: str, reps: int = 3) -> tuple[dict, dict]:
     INTERLEAVED repetitions — (q1..qN)(q1..qN)... rather than
     (q1,q1)(q2,q2)... — so a transient host-noise window inflates one
     repetition of every query instead of destroying one query's number.
-    Per-query statistic: median of ``reps``. A fixed pure-JVM control
-    probe runs once per repetition; its spread (max/min) quantifies how
-    noisy the measurement window itself was."""
+    Per-query statistic: median over the drift-ACCEPTED passes (each pass
+    bracketed by pure-JVM control probes; passes in a noisy window are
+    rejected and re-run, bounded — see run_pipeline_bench)."""
     from pq_spark.driver_queries import QUERIES
 
     names = [
@@ -189,22 +239,34 @@ def run_query_bench(spark, sf_dir: str, reps: int = 3) -> tuple[dict, dict]:
         "ann_cosine_topk",
         "text_quality",
     ]
-    times: dict[str, list[float]] = {n: [] for n in names}
-    control: list[float] = []
     # warm-up pass (codegen/JIT/broadcast amortization) — not recorded
     for name in names:
         QUERIES[name](spark, sf_dir).count()
-    for _ in range(reps):
-        control.append(round(_control_probe(spark), 3))
+    # drift-gated passes, same self-certifying protocol as the pipeline:
+    # each full interleaved pass is bracketed by control probes; noisy
+    # passes are rejected and re-run within the bounded retry budget
+    passes: list[dict[str, float]] = []
+    probes = [round(_control_probe(spark), 3)]
+    while len(passes) < reps + MAX_EXTRA_REPS:
+        one: dict[str, float] = {}
         for name in names:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).count()
-            times[name].append(time.time() - t0)
-    out = {n: round(_median(ts), 3) for n, ts in times.items()}
+            one[name] = time.time() - t0
+        passes.append(one)
+        probes.append(round(_control_probe(spark), 3))
+        if len(_accepted_windows(probes, len(passes))) >= reps:
+            break
+    chosen = _select_reps(probes, len(passes), reps)
+    bracket = [p for i in chosen for p in (probes[i], probes[i + 1])]
+    out = {
+        n: round(_median([passes[i][n] for i in chosen]), 3) for n in names
+    }
     meta = {
-        "control_s": control,
-        "control_drift": round(max(control) / max(min(control), 1e-9), 2),
-        "query_reps": reps,
+        "control_s": probes,
+        "control_drift": round(max(bracket) / max(min(probes), 1e-9), 2),
+        "query_reps": len(chosen),
+        "query_passes_rejected": len(passes) - len(chosen),
     }
     return out, meta
 
@@ -324,6 +386,9 @@ def bench_once(cpus: int, sf_dir: str, n_pages: int | None, queries: bool,
             "points_per_sec": round(pipe["points_per_sec"], 1),
             "pipeline_elapsed_s": round(pipe["elapsed_s"], 3),
             "pipeline_pps_reps": pipe["pipeline_pps_reps"],
+            "pipeline_pps_rejected": pipe["pipeline_pps_rejected"],
+            "pipeline_probe_s": pipe["pipeline_probe_s"],
+            "pipeline_drift": pipe["pipeline_drift"],
             "stage_s": pipe.get("stage_s", {}),
             "gorilla_compression": pipe.get("gorilla_compression"),
             **qmeta,

@@ -29,8 +29,10 @@ Series Database"):
 The encoder is pure numpy (no per-point Python): tokens are built as
 (bits, nbits) arrays, bit offsets via cumsum, and the scatter into the
 bit plane loops only over DISTINCT token widths (≤ ~70 iterations total).
-The decoder is a straightforward sequential bit reader — it is the cold
-path (verification + selective thaw of packed blocks).
+The decoder's token scan is sequential (token widths depend on prior
+control bits) but runs at a few integer ops per point via 64-bit window
+fetches; timestamp/value reconstruction is vectorized (cumsum + XOR
+prefix scan) — fast enough for the query-over-Gorilla serving path.
 """
 
 from __future__ import annotations
@@ -162,23 +164,23 @@ def pack_block(ts: np.ndarray, values: np.ndarray) -> bytes:
     return header + _write_bitstream(all_bits, all_nbits)
 
 
-class _BitReader:
-    __slots__ = ("bits", "pos")
-
-    def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.pos = 0
-
-    def read(self, n: int) -> int:
-        out = 0
-        for b in self.bits[self.pos : self.pos + n]:
-            out = (out << 1) | int(b)
-        self.pos += n
-        return out
+_M64 = (1 << 64) - 1
 
 
 def unpack_block(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a Gorilla block → (ts int64[], values float64[])."""
+    """Decode a Gorilla block → (ts int64[], values float64[]).
+
+    The bitstream is a chain of variable-length tokens whose widths depend
+    on previously decoded control bits, so the token SCAN is inherently
+    sequential — but it needs only a handful of integer ops per point: a
+    64-bit window fetch (two-word shift/or from a precomputed word table)
+    plus shift/mask decoding, never a per-bit loop. Everything after the
+    scan is pure numpy: timestamps are a double cumsum over the
+    delta-of-deltas and values are an XOR prefix scan
+    (``np.bitwise_xor.accumulate``) over the decoded XOR tokens. ~40×
+    faster than the round-3 per-bit reader (microbench in
+    BENCH/BASELINE.md), which matters since query-over-Gorilla serving
+    (``pq_instant_over_gorilla``) made thaw a hot path."""
     magic, n, t0, v0 = struct.unpack_from("<HIqd", blob, 0)
     if magic != _MAGIC:
         raise ValueError("bad gorilla block magic")
@@ -191,35 +193,66 @@ def unpack_block(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     if n == 1:
         return ts, vals
 
-    r = _BitReader(blob[struct.calcsize("<HIqd"):])
-    prev_delta = 0
-    prev_raw = int(np.array([v0], dtype=np.float64).view(np.uint64)[0])
-    prev_lead, prev_mlen = 0, 0
-    for i in range(1, n):
-        # timestamp
-        if r.read(1) == 0:
-            dod = 0
-        elif r.read(1) == 0:
-            dod = r.read(7) - 63
-        elif r.read(1) == 0:
-            dod = r.read(9) - 255
-        elif r.read(1) == 0:
-            dod = r.read(12) - 2047
+    data = blob[struct.calcsize("<HIqd"):]
+    # pad so any 64-bit window fetch inside the encoded region stays in
+    # bounds (worst case: a fetch starting at the last encoded bit)
+    pad = (-len(data)) % 8 + 16
+    words = np.frombuffer(data + b"\x00" * pad, dtype=">u8").tolist()
+
+    pos = 0
+    lead = mlen = 0
+    dods = [0] * (n - 1)
+    xors = [0] * (n - 1)
+    for i in range(n - 1):
+        # one window covers the widest ts token (36 bits) + value control
+        w, off = pos >> 6, pos & 63
+        x = ((words[w] << off) | (words[w + 1] >> (64 - off))) & _M64 \
+            if off else words[w]
+        # timestamp: prefix code '0'/'10'/'110'/'1110'/'1111' + payload
+        if x >> 63 == 0:
+            pos += 1
+        elif (x >> 62) & 1 == 0:
+            dods[i] = ((x >> 55) & 0x7F) - 63
+            pos += 9
+        elif (x >> 61) & 1 == 0:
+            dods[i] = ((x >> 52) & 0x1FF) - 255
+            pos += 12
+        elif (x >> 60) & 1 == 0:
+            dods[i] = ((x >> 48) & 0xFFF) - 2047
+            pos += 16
         else:
-            dod = r.read(32) - (1 << 31)
-        prev_delta += dod
-        ts[i] = ts[i - 1] + prev_delta
-        # value
-        if r.read(1) == 0:
-            raw = prev_raw
+            dods[i] = ((x >> 28) & 0xFFFFFFFF) - (1 << 31)
+            pos += 36
+        # value: '0' same | '10' reuse window | '11'+5+6 new window,
+        # then mlen meaningful bits
+        w, off = pos >> 6, pos & 63
+        x = ((words[w] << off) | (words[w + 1] >> (64 - off))) & _M64 \
+            if off else words[w]
+        if x >> 63 == 0:
+            pos += 1
+            continue
+        if (x >> 62) & 1:  # new leading/meaningful window
+            lead = (x >> 57) & 0x1F
+            mlen = ((x >> 51) & 0x3F) + 1
+            pos += 13
+            w, off = pos >> 6, pos & 63
+            x = ((words[w] << off) | (words[w + 1] >> (64 - off))) & _M64 \
+                if off else words[w]
         else:
-            if r.read(1) == 1:  # new window
-                prev_lead = r.read(5)
-                prev_mlen = r.read(6) + 1
-            meaningful = r.read(prev_mlen)
-            raw = prev_raw ^ (meaningful << (64 - prev_lead - prev_mlen))
-        vals[i] = struct.unpack("<d", struct.pack("<Q", raw))[0]
-        prev_raw = raw
+            pos += 2
+            w, off = pos >> 6, pos & 63
+            x = ((words[w] << off) | (words[w + 1] >> (64 - off))) & _M64 \
+                if off else words[w]
+        pos += mlen
+        xors[i] = (x >> (64 - mlen)) << (64 - lead - mlen)
+
+    deltas = np.cumsum(np.array(dods, dtype=np.int64))
+    ts[1:] = t0 + np.cumsum(deltas)
+    raw0 = np.array([v0], dtype=np.float64).view(np.uint64)
+    raws = np.bitwise_xor.accumulate(
+        np.concatenate([raw0, np.array(xors, dtype=np.uint64)])
+    )
+    vals[:] = raws.view(np.float64)
     return ts, vals
 
 

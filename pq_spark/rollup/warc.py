@@ -60,7 +60,12 @@ def _parse_warc_date(s: str):
 
 
 def _record_bytes(url: str, ts, html: bytes) -> bytes:
-    rid = hashlib.md5(url.encode()).hexdigest()
+    # ISO 28500 requires GLOBALLY unique record IDs: recrawls of the same
+    # URL (supported — see test_warc_recrawl_duplicates) are distinct
+    # captures, so the ID covers (url, capture time, content), not url alone
+    rid = hashlib.md5(
+        url.encode() + _format_warc_date(ts).encode() + hashlib.md5(html).digest()
+    ).hexdigest()
     head = (
         b"WARC/1.0\r\n"
         b"WARC-Type: response\r\n"

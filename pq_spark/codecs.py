@@ -3,11 +3,14 @@
 The container ships no PIL/ffmpeg, so these implement the two formats that
 need nothing beyond the standard library:
 
-- **PNG** (8-bit grayscale, non-interlaced): full spec-compliant encode
-  (filter 0 scanlines, zlib IDAT, CRC-checked chunks) and decode (all five
-  scanline filters incl. Paeth, multi-IDAT, CRC validation). Any external
-  grayscale PNG of this shape decodes here; our thumbnails open in any
-  viewer.
+- **PNG** (8-bit grayscale AND 8-bit RGB truecolor, non-interlaced): full
+  spec-compliant encode (filter 0 scanlines, zlib IDAT, CRC-checked
+  chunks) and decode (all five scanline filters incl. Paeth, multi-IDAT,
+  CRC validation, bpp-aware). Any external PNG of these shapes decodes
+  here; our thumbnails open in any viewer. Filters 0/1/2 decode
+  vectorized (Sub = per-channel cumsum mod 256); Average/Paeth remain
+  per-pixel Python — fine for thumbnail-sized images, O(h·w) interpreter
+  cost on megapixel external files.
 - **WAV** (PCM16 mono): RIFF/fmt/data encode + chunk-walking decode.
 
 Video remains a documented seam (an MJPEG-style container of PNG frames —
@@ -37,11 +40,16 @@ def _chunk(typ: bytes, data: bytes) -> bytes:
 
 
 def encode_png(img: np.ndarray) -> bytes:
-    """8-bit grayscale ndarray (h, w) → PNG bytes (filter 0, one IDAT)."""
-    if img.dtype != np.uint8 or img.ndim != 2:
-        raise ValueError("encode_png expects a 2-D uint8 array")
-    h, w = img.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    """uint8 ndarray → PNG bytes (filter 0, one IDAT). (h, w) encodes as
+    8-bit grayscale (color type 0); (h, w, 3) as 8-bit RGB truecolor
+    (color type 2)."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_png expects a 2-D or (h, w, 3) uint8 array")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError("encode_png 3-D input must have 3 channels (RGB)")
+    h, w = img.shape[:2]
+    color = 2 if img.ndim == 3 else 0
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     return (
         _PNG_SIG
@@ -60,13 +68,18 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 ndarray (h, w). Supports 8-bit grayscale,
-    non-interlaced, all five scanline filters, multiple IDAT chunks;
-    validates the signature and every chunk CRC."""
+    """PNG bytes → uint8 ndarray: (h, w) for 8-bit grayscale, (h, w, 3)
+    for 8-bit RGB truecolor. Non-interlaced, all five scanline filters
+    (bpp-aware), multiple IDAT chunks; validates the signature and every
+    chunk CRC. Filters None/Sub/Up decode vectorized (Sub is a
+    per-channel cumsum mod 256 — the mod-256 prefix sum IS the inverse
+    filter); Average/Paeth are per-pixel (sequential data dependency
+    through the reconstructed left neighbour that cumsum can't express)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, w = 8, None
     h = None
+    bpp = 1
     idat = bytearray()
     while pos < len(data):
         if pos + 8 > len(data):
@@ -83,11 +96,12 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+            if (depth, comp, filt, interlace) != (8, 0, 0, 0) or color not in (0, 2):
                 raise ValueError(
-                    "unsupported PNG variant (need 8-bit grayscale, "
+                    "unsupported PNG variant (need 8-bit grayscale or RGB, "
                     "deflate, non-interlaced)"
                 )
+            bpp = 3 if color == 2 else 1
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
@@ -97,35 +111,37 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("truncated PNG (missing IHDR/IDAT)")
 
     raw = zlib.decompress(bytes(idat))
-    stride = w + 1
+    rowbytes = w * bpp
+    stride = rowbytes + 1
     if len(raw) != h * stride:
         raise ValueError("PNG payload size mismatch")
-    out = np.zeros((h, w), dtype=np.uint8)
-    prev = np.zeros(w, dtype=np.uint8)
+    out = np.zeros((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.uint8)
     for y in range(h):
         ftype = raw[y * stride]
-        line = np.frombuffer(raw, np.uint8, w, y * stride + 1).copy()
+        line = np.frombuffer(raw, np.uint8, rowbytes, y * stride + 1).copy()
         if ftype == 0:
             pass
-        elif ftype == 1:  # Sub
-            for x in range(1, w):
-                line[x] = (line[x] + line[x - 1]) & 0xFF
+        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp] ⇒ cumsum
+            line = (
+                np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64) & 0xFF
+            ).astype(np.uint8).reshape(rowbytes)
         elif ftype == 2:  # Up
             line = (line.astype(np.uint16) + prev).astype(np.uint8)
         elif ftype == 3:  # Average
-            for x in range(w):
-                left = int(line[x - 1]) if x else 0
+            for x in range(rowbytes):
+                left = int(line[x - bpp]) if x >= bpp else 0
                 line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
-            for x in range(w):
-                left = int(line[x - 1]) if x else 0
-                ul = int(prev[x - 1]) if x else 0
+            for x in range(rowbytes):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
                 line[x] = (line[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y] = line
         prev = line
-    return out
+    return out.reshape(h, w, 3) if bpp == 3 else out
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:

@@ -57,6 +57,63 @@ def test_png_decodes_all_filters():
     assert np.array_equal(decode_png(png), img)
 
 
+def test_png_rgb_roundtrip():
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 5), (16, 16), (11, 4)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, img)
+
+
+def test_png_rgb_decodes_external_style_adaptive_filters():
+    # an independent writer in the style of libpng: RGB truecolor with the
+    # per-row adaptive minimum-sum-of-absolute-differences filter heuristic,
+    # bpp=3 offsets — a stream shape our own encoder (filter 0 only) never
+    # produces, standing in for an external tool's output
+    import struct
+    import zlib
+
+    from pq_spark.codecs import _chunk, _paeth, _PNG_SIG
+
+    rng = np.random.default_rng(5)
+    h, w, bpp = 9, 7, 3
+    # smooth gradient + noise so different rows pick different filters
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((yy * 25 + xx * 11)[:, :, None] + rng.integers(0, 30, (h, w, 3))
+           ).astype(np.uint8)
+
+    def filt(ftype, row, prev):
+        r = row.astype(int)
+        p = prev.astype(int)
+        out = []
+        for x in range(w * bpp):
+            left = r[x - bpp] if x >= bpp else 0
+            up = p[x]
+            ul = p[x - bpp] if x >= bpp else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) // 2,
+                    4: _paeth(left, up, ul)}[ftype]
+            out.append((r[x] - pred) % 256)
+        return bytes(out)
+
+    lines, used = [], set()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        row = img[y].reshape(-1)
+        cands = {f: filt(f, row, prev) for f in range(5)}
+        best = min(cands, key=lambda f: sum(
+            v if v < 128 else 256 - v for v in cands[f]))
+        used.add(best)
+        lines.append(bytes([best]) + cands[best])
+        prev = row
+    assert len(used) > 1, "fixture degenerate: one filter chosen everywhere"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+           + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img)
+
+
 def test_png_rejects_corruption():
     img = np.zeros((2, 2), dtype=np.uint8)
     png = bytearray(encode_png(img))

@@ -45,12 +45,18 @@ class Sim:
                 return False
         return True
 
-    def selector(self, matchers, duration=None):
+    def selector(self, matchers, duration=None, offset=0):
         """Returns (grid, cells): grid = [instants]; cells = {instant:
         [(labels, value)...] sig-ordered} for instant vectors, or window
-        point lists for range vectors."""
+        point lists for range vectors. ``offset`` (ms) evaluates the
+        selector that far in the past: samples shift forward by the
+        offset BEFORE the grid anchor is derived, matching the engine's
+        extension semantics (planner._selector_parts)."""
         lb = duration if duration is not None else self.lookback
         matched = [s for s in self.samples if self._matches(s[2], matchers)]
+        if offset:
+            matched = [(seq, ts + offset, labels, value)
+                       for (seq, ts, labels, value) in matched]
         if not matched:
             return [], {}
         tsmin = min(s[1] for s in matched)

@@ -168,6 +168,49 @@ def test_lineage_resume(spark, tmp_path, samples):
     assert set(r3.skipped) == set(r1.written) - {one_date}
 
 
+def test_concurrent_commits_one_table(spark, tmp_path, samples):
+    """Round-3 verdict item 8 (Iceberg unobtainable in-sandbox): two
+    SIMULTANEOUS commits of disjoint partition sets to one table must not
+    corrupt the snapshot log, the manifests, or the data. Concurrency
+    model under test: manifests are atomic-rename per partition, the
+    snapshot log is a single O_APPEND write per commit, and Spark's
+    dynamic-overwrite staging dirs are per-job — so disjoint-partition
+    writers compose. (Same-partition writers are last-wins, as with any
+    non-catalog table format; the Iceberg seam exists for that.)"""
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    store = TierStore(str(tmp_path))
+    tier = with_date(rollup_tier(samples, "1h")).cache()
+    dates = sorted(r["date"] for r in tier.select("date").distinct().collect())
+    assert len(dates) >= 2, "fixture must span ≥2 date partitions"
+    half_a = tier.filter(F.col("date").isin(dates[::2]))
+    half_b = tier.filter(F.col("date").isin(dates[1::2]))
+
+    with ThreadPoolExecutor(2) as ex:
+        fa = ex.submit(store.commit, half_a, "tier_1h_cc")
+        fb = ex.submit(store.commit, half_b, "tier_1h_cc")
+        ra, rb = fa.result(), fb.result()
+    assert sorted(ra.written + rb.written) == [str(d) for d in dates]
+
+    # snapshot log: every line is valid JSON, one entry per commit
+    log = (tmp_path / "tier_1h_cc" / "_snapshots" / "log.jsonl").read_text()
+    entries = [json.loads(ln) for ln in log.splitlines()]
+    assert len(entries) == 2
+    assert sorted(w for e in entries for w in e["written"]) == [
+        str(d) for d in dates
+    ]
+
+    # manifests: parseable and stable — a re-commit of the FULL input
+    # skips every partition (fingerprints uncorrupted by the race)
+    r2 = store.commit(tier, "tier_1h_cc")
+    assert not r2.written and sorted(r2.skipped) == [str(d) for d in dates]
+
+    # data: read-back equals the union of both halves
+    assert store.read(spark, "tier_1h_cc").count() == tier.count()
+    tier.unpersist()
+
+
 def test_full_pipeline(spark, tmp_path, pages):
     metrics = run_pipeline(spark, pages, str(tmp_path / "tiers"), salt_buckets=4)
     assert metrics["rolled_up_points"] > 0

@@ -1465,6 +1465,149 @@ FROM s GROUP BY 1, 2""",
 )
 
 
+# -- Prometheus math functions (extension family; reference panics for all
+#    of them). One composed row keeps the family in the window: every op in
+#    it (abs/sqrt/floor/sgn and the 1:1 zip) is IEEE-exact — correctly
+#    rounded per the standard — so no rounding contract is needed.
+register(
+    "pq_math_fns",
+    lambda spark, sf: _cells(
+        spark, sf, "floor(sqrt(abs(value))) + sgn(value)", MIN_MS,
+        ("et", "ub"), "mval",
+    ),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, ub, "
+    "CAST(floor(sqrt(abs(value))) + sign(value) AS DOUBLE) AS mval FROM latest",
+)
+
+
+# -- training-pipeline operators: sampling, cleaning, PII redaction,
+#    contamination screening, shard assignment -------------------------------
+
+register(
+    # deterministic Bernoulli: membership is a pure function of doc_id
+    "sample_bernoulli",
+    lambda spark, sf: textops.sample_docs(
+        _docs(spark, sf), rate=0.25, seed="smp"
+    ).select("doc_id"),
+    "SELECT doc_id FROM documents "
+    f"WHERE ({_hash_sql('CAST(doc_id AS VARCHAR)', 'smp')} % 1000000) < 250000",
+)
+
+register(
+    # per-stratum quota draw (rebalance over-represented languages)
+    "sample_stratified",
+    lambda spark, sf: textops.sample_stratified(
+        _docs(spark, sf), "lang", quota=50, seed="strat"
+    ).select("doc_id", "lang"),
+    f"""SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY ({_hash_sql("CAST(doc_id AS VARCHAR)", "strat")} % 1000000000) ASC,
+             doc_id ASC) AS rn
+  FROM documents) WHERE rn <= 50""",
+)
+
+register(
+    "text_clean",
+    lambda spark, sf: textops.clean_text(_docs(spark, sf)),
+    """WITH c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS clean
+  FROM documents)
+SELECT doc_id, clean,
+       CAST(length(text) - length(clean) AS BIGINT) AS n_chars_removed FROM c""",
+)
+
+
+def _pii_aug_spark(docs):
+    # the corpus is synthetic and PII-free; both sides append the SAME
+    # deterministic PII suffix so the redactor has real matches to count
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(" call 555-0100-"),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    (k1, p1, r1), (k2, p2, r2), (k3, p3, r3) = textops.PII_PATTERNS
+    return f"""WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.0.'
+              || (doc_id % 256) || ' call 555-0100-' || (doc_id % 100) AS t
+  FROM documents),
+s1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(t, '{p1}')) AS BIGINT) AS n_{k1},
+              regexp_replace(t, '{p1}', '{r1}', 'g') AS t FROM aug),
+s2 AS (SELECT doc_id, n_{k1},
+              CAST(len(regexp_extract_all(t, '{p2}')) AS BIGINT) AS n_{k2},
+              regexp_replace(t, '{p2}', '{r2}', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_{k1}, n_{k2},
+              CAST(len(regexp_extract_all(t, '{p3}')) AS BIGINT) AS n_{k3},
+              regexp_replace(t, '{p3}', '{r3}', 'g') AS t FROM s2)
+SELECT doc_id, n_{k1}, n_{k2}, n_{k3}, t AS redacted FROM s3"""
+
+
+register(
+    "text_pii_redact",
+    lambda spark, sf: textops.redact_pii(_pii_aug_spark(_docs(spark, sf))),
+    _pii_oracle_sql(),
+)
+
+# 8-gram shingle CTE for contamination (the 3-gram _SHINGLE_CTE's shape at
+# n=8; short docs fall back to the whole-text shingle, same as shingles_col)
+_SHINGLE8_CTE = f"""
+w8 AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+ix8 AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i FROM w8),
+sh8 AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(ws) >= 8
+              THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                   || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+                   || ' ' || ws[i+7]
+              ELSE array_to_string(ws, ' ') END AS sh
+  FROM ix8
+)"""
+
+register(
+    # benchmark-contamination screen: docs 0-19 stand in for the eval
+    # suite; every corpus doc reports its 8-gram overlap with them
+    "contam_overlap",
+    lambda spark, sf: textops.contamination(
+        _docs(spark, sf),
+        _docs(spark, sf).where(F.col("doc_id") < 20),
+        shingle_n=8,
+    ),
+    f"""WITH {_SHINGLE8_CTE},
+ds AS (SELECT doc_id, {_hash_sql('sh', 'ctm')} AS bh FROM sh8),
+bench AS (SELECT DISTINCT bh FROM ds WHERE doc_id < 20)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN b.bh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       round(sum(CASE WHEN b.bh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS contamination_ratio
+FROM ds d LEFT JOIN bench b ON d.bh = b.bh
+GROUP BY d.doc_id""",
+)
+
+register(
+    # deterministic training-shard layout + balance summary
+    "shard_stats",
+    lambda spark, sf: textops.shard_stats(_docs(spark, sf), n_shards=16),
+    f"""SELECT ({_hash_sql('CAST(doc_id AS VARCHAR)', 'shard')} % 16) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY 1""",
+)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -1501,6 +1644,21 @@ _DEFERRED = [
                          # to admit text_doc_keywords (round-4 rotation)
     "ann_lsh_buckets",   # family: ann_lsh — ann_lsh_topk stays (buckets row
                          # green r03); deferred to admit tier_1h_distinct_users
+    # round-4 second rotation: seven redundant green siblings deferred to
+    # admit the seven new families (pq_math_fns, sample_bernoulli,
+    # sample_stratified, text_clean, text_pii_redact, contam_overlap,
+    # shard_stats)
+    "dedup_simhash",     # family: simhash — dedup_simhash_pairs (green r03)
+                         # computes the signatures it blocks on
+    "dedup_minhash_sig", # family: minhash — dedup_near_pairs (green r03)
+                         # composes LSH over these signatures
+    "dedup_lsh_pairs",   # family: minhash-LSH — dedup_near_pairs composes it
+    "pq_increase_1h",    # family: rate — pq_rate_1h + pq_rate_over_tier_1m stay
+    "pq_and",            # family: logical — pq_unless (lhs-grid negation) and
+                         # pq_or (union grid) stay
+    "pq_bool_compare",   # family: vector⊗scalar comparison — pq_filter_gt stays
+    "pq_arith_vector_scalar",  # family: vector⊗scalar arithmetic — covered
+                               # with pq_filter_gt by §2 row 41; green r01-r03
 ]
 
 for _n in _DEFERRED:

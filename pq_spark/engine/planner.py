@@ -64,6 +64,12 @@ from .frames import Check, RangeFrame, ScalarResult, VectorFrame
 
 NAME_LABEL = "__name__"
 F64_EPSILON = 2.220446049250313e-16
+
+# Prometheus math functions (extensions — see _math_fn)
+_MATH_FNS = {
+    "abs", "ceil", "floor", "round", "sqrt", "exp", "ln", "log2", "log10",
+    "sgn",
+}
 DEFAULT_INTERVAL_MS = 1000
 
 
@@ -738,6 +744,11 @@ class Planner:
             return self._label_replace(arg, *node.args[1:5])
         if self.ctx.extensions and name == "vector":
             return self._vector_const(float(node.args[0]))
+        if self.ctx.extensions and name in _MATH_FNS:
+            arg = self.plan(node.args[0])
+            if not isinstance(arg, VectorFrame):
+                raise PqError(f"{name} expects an instant vector")
+            return self._math_fn(name, arg)
         # reference: create_func_evaluator panics "Coming soon..."
         # (function.rs:27) for clamp*/vector/label_replace
         raise PqError(f"function {name} is not implemented")
@@ -946,6 +957,62 @@ class Planner:
         else:
             v = F.greatest(v, F.lit(float(args[0])))
         facts = vf.facts.withColumn("value", v)
+        out_labels = _labels_without(F.col("labels"), [])
+        dim = vf.dim.select(
+            "skey",
+            sig_expr(out_labels).alias("sig"),
+            out_labels.alias("labels"),
+            "ord",
+        )
+        return VectorFrame(vf.grid, facts, dim, vf.checks)
+
+    def _math_fn(self, name: str, vf: VectorFrame) -> VectorFrame:
+        """Extension (Prometheus math functions; the reference's evaluator
+        panics for every function it lacks — function.rs:27). Elementwise
+        value transform + metric-name drop, like clamp. ANSI-survival and
+        IEEE quirks handled explicitly:
+
+        - ceil/floor/round go through a ``|v| ≥ 2^52`` pass-through guard:
+          doubles that large are already integers, and Spark's
+          ceil/floor(double) → LONG would overflow (ANSI: throw) on them;
+          the guard also passes NaN/±Inf through unchanged, which is the
+          Prometheus behavior and keeps the LONG cast total.
+        - round() is Prometheus round-half-UP: floor(v + 0.5), not Java/SQL
+          HALF_AWAY_FROM_ZERO (they differ at negative .5 ties: Prometheus
+          round(-2.5) = -2).
+        - ln/log2/log10 need explicit branches (Spark returns NULL for
+          non-positive input where Prometheus wants log(0) = -Inf and
+          log(<0) = NaN); the otherwise-branch also forwards NaN inputs.
+        - sqrt(<0) = NaN explicitly (ANSI sessions may otherwise error)."""
+        v = F.col("value")
+        nan, ninf = F.lit(float("nan")), F.lit(float("-inf"))
+
+        def intish(fn):
+            return F.when(
+                F.isnan(v) | (F.abs(v) >= F.lit(2.0 ** 52)), v
+            ).otherwise(fn(v).cast("double"))
+
+        def logish(fn):
+            return (
+                F.when(v > 0, fn(v)).when(v == 0, ninf)
+                .otherwise(nan)
+            )
+
+        exprs = {
+            "abs": lambda: F.abs(v),
+            "ceil": lambda: intish(F.ceil),
+            "floor": lambda: intish(F.floor),
+            "round": lambda: F.when(
+                F.isnan(v) | (F.abs(v) >= F.lit(2.0 ** 52)), v
+            ).otherwise(F.floor(v + F.lit(0.5)).cast("double")),
+            "sqrt": lambda: F.when(v < 0, nan).otherwise(F.sqrt(v)),
+            "exp": lambda: F.exp(v),
+            "ln": lambda: logish(F.log),
+            "log2": lambda: logish(F.log2),
+            "log10": lambda: logish(F.log10),
+            "sgn": lambda: F.signum(v),
+        }
+        facts = vf.facts.withColumn("value", exprs[name]())
         out_labels = _labels_without(F.col("labels"), [])
         dim = vf.dim.select(
             "skey",

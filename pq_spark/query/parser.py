@@ -76,6 +76,11 @@ _FUNCTION_NAMES = [  # alternation order from expr.rs:423-436
     # parse here; the planner rejects them unless extensions are enabled.
     "avg_over_time", "label_replace",
     "rate", "irate", "increase", "delta", "idelta",
+    # Prometheus math functions (reference panics "Coming soon..." for any
+    # function its evaluator lacks → pure extensions here). round() takes
+    # the single-argument form (to_nearest fixed at 1).
+    "abs", "ceil", "floor", "sqrt", "exp", "ln", "log10", "log2",
+    "sgn", "round",
 ]
 
 _FUNC_ARG_KINDS: dict[str, list[str]] = {
@@ -96,6 +101,16 @@ _FUNC_ARG_KINDS: dict[str, list[str]] = {
     "increase": ["range"],
     "delta": ["range"],
     "idelta": ["range"],
+    "abs": ["vector"],
+    "ceil": ["vector"],
+    "floor": ["vector"],
+    "sqrt": ["vector"],
+    "exp": ["vector"],
+    "ln": ["vector"],
+    "log10": ["vector"],
+    "log2": ["vector"],
+    "sgn": ["vector"],
+    "round": ["vector"],
 }
 
 

@@ -870,3 +870,173 @@ def doc_fingerprint(
     return sh.groupBy(id_col).agg(
         F.min(portable_hash(F.col("sh"), "fp")).alias("fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline operators: sampling, cleaning, PII redaction,
+# contamination screening, shard assignment
+# ---------------------------------------------------------------------------
+
+
+def sample_docs(
+    docs: DataFrame, rate: float, seed: str = "smp", id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling: keep a doc iff
+    ``portable_hash(doc_id) mod 1e6 < rate·1e6``. Unlike ``df.sample()``
+    the decision is a pure function of the doc id — stable across reruns,
+    partitionings and engines (a DuckDB oracle recomputes it exactly),
+    which is what a reproducible training-data pipeline needs. Scale
+    shape: a map-side filter, zero shuffles."""
+    cut = int(round(rate * 1_000_000))
+    h = F.pmod(portable_hash(F.col(id_col).cast("string"), seed),
+               F.lit(1_000_000))
+    return docs.where(h < F.lit(cut))
+
+
+def sample_stratified(
+    docs: DataFrame, strata_col: str, quota: int, seed: str = "strat",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum quota sampling: the ``quota`` docs with the smallest
+    (portable hash, id) per stratum — a deterministic uniform draw that
+    equalizes strata (the standard rebalancing step for over-represented
+    languages/domains in a crawl). Scale shape: one shuffle keyed by the
+    stratum column + a per-stratum top-k window; with heavily skewed
+    strata the window is still bounded per task by the quota because
+    row_number short-circuits nothing — for pathological strata sizes,
+    pre-filter with ``sample_docs`` at ≈ quota/|stratum| first."""
+    from pyspark.sql import Window
+
+    h = F.pmod(portable_hash(F.col(id_col).cast("string"), seed),
+               F.lit(1_000_000_000))
+    rn = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    )
+    return (
+        docs.withColumn("_rn", rn)
+        .where(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def clean_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical text cleaning: lowercase, strip every character outside
+    ``[a-z0-9 ]`` (punctuation/symbol removal), collapse whitespace, trim.
+    Emits (id, clean, n_chars_removed) — the removal count is the audit
+    column a cleaning stage should carry. Pure column expressions."""
+    t = F.col(text_col)
+    lowered = F.lower(t)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9 ]", " ")
+    clean = F.trim(F.regexp_replace(stripped, r" +", " "))
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean"),
+        (F.length(t) - F.length(clean)).cast("long").alias("n_chars_removed"),
+    )
+
+
+# PII patterns: RE2-safe (no lookaround/backreferences) so Spark (Java
+# regex) and DuckDB (RE2) agree byte-for-byte. Applied in a fixed order —
+# emails first so their user@host digits can't half-match as phones.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d \-]{7,13}\d", "<PHONE>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """PII redaction for training corpora: replace emails, IPv4 addresses
+    and phone-shaped digit runs with typed placeholders; emit per-kind
+    match counts so the pipeline can quarantine high-PII documents.
+    Counts are computed BEFORE redaction (on the original text, in
+    pattern order on the progressively redacted string so kinds don't
+    double-count each other). All JVM-side regexps, no shuffle."""
+    t = F.col(text_col)
+    out_cols = [F.col(id_col)]
+    redacted = t
+    for kind, pat, repl in PII_PATTERNS:
+        n = F.size(F.regexp_extract_all(redacted, F.lit(pat), 0))
+        out_cols.append(n.cast("long").alias(f"n_{kind}"))
+        redacted = F.regexp_replace(redacted, pat, repl)
+    out_cols.append(redacted.alias("redacted"))
+    return docs.select(*out_cols)
+
+
+def contamination(
+    docs: DataFrame, benchmark: DataFrame, shingle_n: int = 8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination screening: per corpus document, the
+    fraction of its word ``shingle_n``-grams that appear anywhere in the
+    benchmark set (the standard n-gram-overlap decontamination check run
+    before training). ``benchmark`` is (any id, text) — typically the
+    eval suites, i.e. tiny next to the corpus.
+
+    Scale shape: corpus side = one explode + one hash aggregation keyed
+    by doc; benchmark shingle hashes are distinct-aggregated and
+    broadcast into the probe join, so the corpus is scanned once and
+    nothing corpus-sized shuffles on a shingle key. Shingle identity via
+    portable 60-bit hashes (DuckDB recomputes them bit-for-bit)."""
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
+        )
+        .select(portable_hash(F.col("sh"), "ctm").alias("bh"))
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh"),
+    ).select(id_col, portable_hash(F.col("sh"), "ctm").alias("bh"))
+    probed = doc_sh.join(
+        F.broadcast(bench_sh.withColumn("_hit", F.lit(1))), "bh", "left"
+    )
+    return probed.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.count("*"), 6
+        ).alias("contamination_ratio"),
+    )
+
+
+def assign_shards(
+    docs: DataFrame, n_shards: int = 16, seed: str = "shard",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-shard assignment:
+    ``shard = portable_hash(doc_id) mod n_shards`` — a pure function of
+    the id, so resuming a partially-written export reproduces the same
+    layout (the property a 100-TB shard writer needs; pair with
+    ``df.repartition(n_shards, "shard").write`` for one file set per
+    shard). Emits the per-doc assignment; ``shard_stats`` summarizes
+    balance."""
+    shard = F.pmod(portable_hash(F.col(id_col).cast("string"), seed),
+                   F.lit(n_shards))
+    return docs.select(
+        F.col(id_col), shard.cast("long").alias("shard"),
+        F.size(words_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+
+def shard_stats(
+    docs: DataFrame, n_shards: int = 16, seed: str = "shard",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard balance summary (docs + tokens per shard): one hash
+    aggregation over the assignment — the skew check a shard writer runs
+    before committing an export layout."""
+    return (
+        assign_shards(docs, n_shards, seed, text_col, id_col)
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

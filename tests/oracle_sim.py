@@ -288,6 +288,36 @@ class SimExt(Sim):
     order — which is one valid refinement of the unspecified behavior.
     """
 
+    def math_fn(self, name, frame):
+        """Elementwise math functions (IEEE-exact subset), Prometheus
+        semantics: metric name dropped; ceil/floor/round pass NaN/±Inf and
+        |v| ≥ 2^52 through unchanged; round is half-UP (floor(v+0.5));
+        sqrt(<0) = NaN."""
+        def f(v):
+            if name == "abs":
+                return abs(v)
+            if name == "sgn":
+                return v if math.isnan(v) else float((v > 0) - (v < 0))
+            if name == "sqrt":
+                return float("nan") if v < 0 else math.sqrt(v)
+            # int-ish: pass through when not representable as a changed int
+            if math.isnan(v) or math.isinf(v) or abs(v) >= 2.0 ** 52:
+                return v
+            if name == "ceil":
+                return float(math.ceil(v))
+            if name == "floor":
+                return float(math.floor(v))
+            return float(math.floor(v + 0.5))  # round
+
+        grid, cells = frame
+        out = {}
+        for t, series in cells.items():
+            out[t] = [
+                ({k: x for k, x in labels.items() if k != NAME}, f(v))
+                for labels, v in series
+            ]
+        return grid, out
+
     def topk(self, k, frame, modifier=None, bottom=False):
         grid, cells = frame
         out_cells = {}

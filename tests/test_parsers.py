@@ -361,6 +361,25 @@ def test_offset_modifier_parses():
         parse_expr("foo offset")
 
 
+def test_math_functions_parse():
+    """Extension: Prometheus math functions (the reference's evaluator
+    panics for every function it lacks)."""
+    from pq_spark.query.ast import FunctionCall
+    from pq_spark.query.parser import parse_expr
+
+    for name in ("abs", "ceil", "floor", "sqrt", "exp", "ln", "log2",
+                 "log10", "sgn", "round"):
+        e = parse_expr(f"{name}(foo)")
+        assert isinstance(e, FunctionCall) and e.name == name
+    # nesting and composition with operators
+    e = parse_expr("floor(sqrt(abs(value))) + sgn(value)")
+    assert e.op == "+" and e.lhs.name == "floor" and e.rhs.name == "sgn"
+    assert e.lhs.args[0].name == "sqrt" and e.lhs.args[0].args[0].name == "abs"
+    # a metric literally named like a function (no parens) stays a selector
+    e = parse_expr("abs")
+    assert not isinstance(e, FunctionCall)
+
+
 def test_number_literal_reference_table():
     """Ported from /root/reference/src/utils/parse/number.rs:16-37."""
     import math

@@ -60,6 +60,15 @@ EXT_QUERIES = [
     "rate(m[3s])",
     "increase(m[2s])",
     "delta(m[2s])",
+    # math functions: the IEEE-exact subset (bit-comparable; exp/ln/log*
+    # are libm-dependent across runtimes and are pinned by unit tests +
+    # the driver row instead)
+    "abs(m)",
+    "ceil(m)",
+    "round(m)",
+    "sqrt(m)",
+    "sgn(m)",
+    "floor(sqrt(abs(m)))",
 ]
 
 
@@ -142,6 +151,11 @@ def _sim_query(sim: Sim, q: str):
         return sim.rate_family(
             "delta", sim.selector([(NAME, "=", "m")], duration=2000)
         )
+    if q in ("abs(m)", "ceil(m)", "round(m)", "sqrt(m)", "sgn(m)"):
+        return sim.math_fn(q.split("(")[0], sim.selector([(NAME, "=", "m")]))
+    if q == "floor(sqrt(abs(m)))":
+        g = sim.math_fn("abs", sim.selector([(NAME, "=", "m")]))
+        return sim.math_fn("floor", sim.math_fn("sqrt", g))
     raise AssertionError(q)
 
 
@@ -274,7 +288,7 @@ def test_tier_serving_matches_raw_engine(spark, data, tier_s, mult):
         assert abs(rs - s) < 1e-9 * max(1.0, abs(s)), k
 
 
-offset_strategy = st.integers(min_value=1, max_value=6).map(lambda k: k * 500)
+offset_strategy = st.sampled_from([500, 1000, 1500, 2000, 2500, 3000])
 
 
 @pytest.mark.slow

@@ -1481,6 +1481,22 @@ register(
 )
 
 
+register(
+    # absent(): 1 at instants where the selector has no series, labels from
+    # its equality matchers (Prometheus rule; extension family)
+    "pq_absent",
+    lambda spark, sf: _cells(
+        spark, sf, 'absent(value{et="error", ub="3"})', MIN_MS,
+        ("et", "ub"), "value",
+    ),
+    f"""WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}
+SELECT instant, 'error' AS et, '3' AS ub, CAST(1.0 AS DOUBLE) AS value
+FROM g WHERE NOT EXISTS (
+  SELECT 1 FROM s WHERE s.et = 'error' AND s.ub = '3'
+    AND s.ts_ms > g.instant - {MIN_MS} AND s.ts_ms <= g.instant)""",
+)
+
+
 # -- training-pipeline operators: sampling, cleaning, PII redaction,
 #    contamination screening, shard assignment -------------------------------
 
@@ -1598,6 +1614,48 @@ GROUP BY d.doc_id""",
 )
 
 register(
+    # Gopher-style within-doc repetition signals (public quality-filter
+    # rules): top-bigram char coverage + duplicated-5-gram char coverage
+    "text_repetition",
+    lambda spark, sf: textops.doc_repetition(_docs(spark, sf)),
+    f"""WITH base AS (
+  SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+w AS (SELECT doc_id, string_split(norm, ' ') AS ws, length(norm) AS nc FROM base),
+bg AS (
+  SELECT doc_id, nc,
+         CASE WHEN len(ws) >= 2 THEN ws[i] || ' ' || ws[i+1]
+              ELSE array_to_string(ws, ' ') END AS g
+  FROM (SELECT doc_id, nc, ws,
+               unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i FROM w)),
+bc AS (SELECT doc_id, nc, g, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+top AS (
+  SELECT doc_id,
+         CASE WHEN nc > 0 THEN round(c * length(g) * 1.0 / nc, 6)
+              ELSE 0.0 END AS top_bigram_frac,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, g ASC) AS rn
+  FROM bc),
+fg AS (
+  SELECT doc_id, nc,
+         CASE WHEN len(ws) >= 5
+              THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                   ws[i+3] || ' ' || ws[i+4]
+              ELSE array_to_string(ws, ' ') END AS g
+  FROM (SELECT doc_id, nc, ws,
+               unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i FROM w)),
+fc AS (SELECT doc_id, nc, g, count(*) AS c FROM fg GROUP BY 1, 2, 3),
+dup AS (
+  SELECT doc_id,
+         CASE WHEN nc > 0
+              THEN round(least(sum(CASE WHEN c > 1 THEN c * length(g)
+                                        ELSE 0 END) * 1.0 / nc, 1.0), 6)
+              ELSE 0.0 END AS dup_fivegram_frac
+  FROM fc GROUP BY doc_id, nc)
+SELECT t.doc_id, t.top_bigram_frac, d.dup_fivegram_frac
+FROM top t JOIN dup d ON t.doc_id = d.doc_id WHERE t.rn = 1""",
+)
+
+register(
     # deterministic training-shard layout + balance summary
     "shard_stats",
     lambda spark, sf: textops.shard_stats(_docs(spark, sf), n_shards=16),
@@ -1659,6 +1717,13 @@ _DEFERRED = [
     "pq_bool_compare",   # family: vector⊗scalar comparison — pq_filter_gt stays
     "pq_arith_vector_scalar",  # family: vector⊗scalar arithmetic — covered
                                # with pq_filter_gt by §2 row 41; green r01-r03
+    "pq_group_quirk_by_et",    # family: seeding quirks — pq_count_quirk_by_et
+                               # (same first-value+n−1 machinery) stays;
+                               # deferred to admit pq_absent
+    "text_top_shingles",       # family: corpus shingle stats — the df
+                               # machinery also underlies contam_overlap and
+                               # text_doc_keywords (both in-window); green
+                               # r03; deferred to admit text_repetition
 ]
 
 for _n in _DEFERRED:

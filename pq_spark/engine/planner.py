@@ -749,6 +749,8 @@ class Planner:
             if not isinstance(arg, VectorFrame):
                 raise PqError(f"{name} expects an instant vector")
             return self._math_fn(name, arg)
+        if self.ctx.extensions and name == "absent":
+            return self._absent(node.args[0])
         # reference: create_func_evaluator panics "Coming soon..."
         # (function.rs:27) for clamp*/vector/label_replace
         raise PqError(f"function {name} is not implemented")
@@ -772,6 +774,49 @@ class Planner:
             F.lit("").alias("ord"),
         )
         return VectorFrame(grid, facts, dim)
+
+    def _absent(self, argnode) -> VectorFrame:
+        """Extension (Prometheus ``absent(v)``): at every grid instant
+        where ``v`` has NO series, emit a single sample of 1; where it has
+        any, emit nothing. The output series' labels are the argument
+        selector's equality matchers minus ``__name__`` (Prometheus rule;
+        empty labels for non-selector arguments).
+
+        Grid note: the result anchors on the FULL sample stream (like
+        ``vector(s)``) — with ``--since`` set (the CLI/driver contract)
+        every selector shares that anchor so presence aligns exactly;
+        without it, per-selector anchors (the reference's own quirk) make
+        cross-grid comparisons undefined anyway. Plan shape: one
+        left-anti join of the (tiny, grid-sized) instant skeleton against
+        the argument's distinct instants."""
+        inner = self.plan(argnode)
+        if not isinstance(inner, VectorFrame):
+            raise PqError("absent expects an instant vector")
+        _, grid = self._grid_params(self.ctx.samples, self.ctx.lookback_ms)
+        present = inner.facts.select("instant").distinct()
+        missing = grid.join(present, "instant", "left_anti")
+
+        labels: dict[str, str] = {}
+        if isinstance(argnode, VectorSelector):
+            labels = {
+                m.label: m.value for m in argnode.matchers
+                if m.op == "=" and m.label != NAME_LABEL
+            }
+        keys = sorted(labels)
+        label_expr = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in keys]).cast("array<string>"),
+            F.array(*[F.lit(labels[k]) for k in keys]).cast("array<string>"),
+        )
+        sigc = sig_expr(label_expr)
+        skey = F.xxhash64(sigc)
+        facts = missing.select(
+            "instant", skey.alias("skey"), F.lit(1.0).alias("value")
+        )
+        dim = grid.limit(1).select(
+            skey.alias("skey"), sigc.alias("sig"),
+            label_expr.alias("labels"), sigc.alias("ord"),
+        )
+        return VectorFrame(grid, facts, dim, inner.checks)
 
     @staticmethod
     def _dropname_dim(dim: DataFrame) -> DataFrame:

@@ -79,7 +79,7 @@ _FUNCTION_NAMES = [  # alternation order from expr.rs:423-436
     # Prometheus math functions (reference panics "Coming soon..." for any
     # function its evaluator lacks → pure extensions here). round() takes
     # the single-argument form (to_nearest fixed at 1).
-    "abs", "ceil", "floor", "sqrt", "exp", "ln", "log10", "log2",
+    "absent", "abs", "ceil", "floor", "sqrt", "exp", "ln", "log10", "log2",
     "sgn", "round",
 ]
 
@@ -101,6 +101,7 @@ _FUNC_ARG_KINDS: dict[str, list[str]] = {
     "increase": ["range"],
     "delta": ["range"],
     "idelta": ["range"],
+    "absent": ["vector"],
     "abs": ["vector"],
     "ceil": ["vector"],
     "floor": ["vector"],

@@ -63,6 +63,37 @@ def streaming_tier(
     )
 
 
+def streaming_hll_tier(
+    sample_stream: DataFrame, item_col: str, tier: str = "1m",
+    watermark: str = "5 minutes", key_cols: tuple = ("sig",),
+    lg_k: int = 12,
+) -> DataFrame:
+    """Streaming distinct-count continuous aggregate: a watermarked
+    windowed ``hll_sketch_agg`` of ``item_col`` per (bucket, keys) — the
+    streaming skin of ``rollup.tiers.hll_tier``, emitting the SAME
+    (bucket_ts, keys, hll) schema, so the batch sketch cascade
+    (``hll_tier_from_tier``) coarsens streamed output and
+    ``hll_estimate`` serves it: the lambda-architecture property the
+    numeric tiers already have, for the one classic non-algebraic
+    aggregate (COUNT DISTINCT). Late data beyond the watermark drops on
+    arrival, matching the batch tier's purge semantics."""
+    secs = TIER_SECONDS[tier]
+    with_event_time = sample_stream.withColumn(
+        "event_time", F.timestamp_millis(F.col("ts"))
+    ).withWatermark("event_time", watermark)
+    win = F.window("event_time", f"{secs} seconds")
+    return (
+        with_event_time.groupBy(win.alias("w"), *[F.col(c) for c in key_cols])
+        .agg(
+            F.hll_sketch_agg(F.col(item_col).cast("string"), F.lit(lg_k)).alias("hll")
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("bucket_ts"),
+            *key_cols, "hll",
+        )
+    )
+
+
 _LAST_VALUE_STATE_SCHEMA = (
     "pend_bucket array<long>, pend_ts array<long>, pend_val array<double>, "
     "emitted_until long"

@@ -872,6 +872,77 @@ def doc_fingerprint(
     )
 
 
+def ngrams_col(col: Column, n: int) -> Column:
+    """NON-distinct word n-grams (cf. ``shingles_col``, which dedups):
+    repetition statistics need the multiplicity."""
+    w = words_col(col)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def doc_repetition(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    public quality-filter rules): per document,
+
+    - ``top_bigram_frac`` — fraction of normalized characters covered by
+      the single most frequent word 2-gram (count × len / total chars;
+      ties broken by gram text);
+    - ``dup_fivegram_frac`` — fraction of characters covered by word
+      5-grams occurring more than once (sum of count × len over duplicated
+      grams, capped at 1 since occurrences overlap).
+
+    High values flag boilerplate/spam docs a quality filter drops. Scale
+    shape: two explode + hash-aggregate passes keyed by (doc, gram) and a
+    per-doc top-1 window — nothing corpus-quadratic; rounded to 6 dp (the
+    repo-wide float-division contract with the DuckDB oracle)."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col), F.length(norm_text(F.col(text_col))).alias("_nc"),
+        F.col(text_col),
+    )
+
+    bg = base.select(
+        id_col, "_nc", F.explode(ngrams_col(F.col(text_col), 2)).alias("g")
+    ).groupBy(id_col, "_nc", "g").agg(F.count("*").alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("g").asc())
+    )
+    top_bg = (
+        bg.withColumn("_rn", rn).where(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("_nc") > 0,
+                F.round(F.col("c") * F.length("g") / F.col("_nc"), 6),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+    fg = base.select(
+        id_col, "_nc", F.explode(ngrams_col(F.col(text_col), 5)).alias("g")
+    ).groupBy(id_col, "_nc", "g").agg(F.count("*").alias("c"))
+    dup_fg = fg.groupBy(id_col, "_nc").agg(
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(F.lit(0))
+        ).alias("_dup")
+    ).select(
+        F.col(id_col),
+        F.when(
+            F.col("_nc") > 0,
+            F.round(F.least(F.col("_dup") / F.col("_nc"), F.lit(1.0)), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_fivegram_frac"),
+    )
+    return top_bg.join(dup_fg, id_col)
+
+
 # ---------------------------------------------------------------------------
 # training-pipeline operators: sampling, cleaning, PII redaction,
 # contamination screening, shard assignment

@@ -169,3 +169,51 @@ def test_streamed_tier_serves_over_time_windows(spark, sample_dir):
         for r in over_time_from_tier(batch_tier, 60_000, 3 * 60_000).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_hll_tier_matches_batch_cascade(spark, tmp_path):
+    """Streamed HLL sketch tier == batch sketch tier, and the batch
+    cascade (hll_tier_from_tier) coarsens the STREAMED output to the same
+    distinct counts — the lambda-architecture property for the
+    non-algebraic COUNT DISTINCT. Item cardinality stays far below
+    2^lg_k, so the sketches are in their sparse-EXACT regime and the
+    comparison is equality, not approximation."""
+    from pq_spark.streaming import streaming_hll_tier
+    from pq_spark.rollup.tiers import hll_estimate, hll_tier, hll_tier_from_tier
+
+    rows = [
+        # sig a, minute 0: users u1,u2 (u1 twice); minute 1: u1
+        {"seq": 1, "ts": 1_000, "sig": "a", "name": "m", "value": 1.0, "user": "u1"},
+        {"seq": 2, "ts": 2_000, "sig": "a", "name": "m", "value": 1.0, "user": "u1"},
+        {"seq": 3, "ts": 30_000, "sig": "a", "name": "m", "value": 1.0, "user": "u2"},
+        {"seq": 4, "ts": 65_000, "sig": "a", "name": "m", "value": 1.0, "user": "u1"},
+        # sig b spans two hours of minutes → cascade merges across buckets
+        {"seq": 5, "ts": 10_000, "sig": "b", "name": "m", "value": 1.0, "user": "u3"},
+        {"seq": 6, "ts": 3_620_000, "sig": "b", "name": "m", "value": 1.0, "user": "u4"},
+        {"seq": 7, "ts": 3_630_000, "sig": "b", "name": "m", "value": 1.0, "user": "u3"},
+    ]
+    _write_jsonl(tmp_path / "part-0.jsonl", rows)
+    schema = SAMPLE_SCHEMA + ", user string"
+
+    stream = spark.readStream.schema(schema).json(str(tmp_path))
+    tier = streaming_hll_tier(stream, "user", tier="1m", watermark="0 seconds")
+    streamed = _run_stream(
+        spark, tier, f"hll_{int(time.time()*1000)}", mode="complete"
+    )
+
+    batch = spark.read.schema(schema).json(str(tmp_path))
+    batch_tier = hll_tier(
+        batch.select(F.col("ts"), "sig", "user"), 60_000, "user",
+        key_cols=("sig",),
+    )
+    def est(df):
+        return {(r["bucket_ts"], r["sig"]): r["distinct_est"]
+                for r in hll_estimate(df).collect()}
+    # buckets: a@0 (u1,u2), a@60000 (u1), b@0 (u3), b@3600000 (u3,u4 — both
+    # 3.62M/3.63M ts land in the same minute bucket)
+    assert est(streamed) == est(batch_tier) and len(est(streamed)) == 4
+    assert est(streamed)[(0, "a")] == 2  # u1,u2 — duplicates collapse
+
+    # batch cascade over STREAMED sketches: 1m → 1h distinct users
+    hourly = est(hll_tier_from_tier(streamed, 3_600_000))
+    assert hourly == {(0, "a"): 2, (0, "b"): 1, (3_600_000, "b"): 2}

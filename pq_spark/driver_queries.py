@@ -1482,6 +1482,21 @@ register(
 
 
 register(
+    # statistical over-time extension family: interpolated window quantile
+    # (Prometheus linear-interpolation quantile == SQL quantile_cont);
+    # stddev/stdvar_over_time share the machinery (population moments over
+    # the same window groups, _stat_over_time_val)
+    "pq_quantile_over_time",
+    lambda spark, sf: _cells(
+        spark, sf, "quantile_over_time(0.5, value[5m])", MIN_MS,
+        ("et", "ub"), "p50_win", round6=True,
+    ),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, _W5)}, {_window_cte(_W5)} "
+    "SELECT instant, et, ub, round(quantile_cont(value, 0.5), 6) AS p50_win "
+    "FROM win GROUP BY instant, et, ub",
+)
+
+register(
     # absent(): 1 at instants where the selector has no series, labels from
     # its equality matchers (Prometheus rule; extension family)
     "pq_absent",
@@ -1724,6 +1739,8 @@ _DEFERRED = [
                                # machinery also underlies contam_overlap and
                                # text_doc_keywords (both in-window); green
                                # r03; deferred to admit text_repetition
+    "pq_vector_const",         # family: vector(s) const series — green r03;
+                               # deferred to admit pq_quantile_over_time
 ]
 
 for _n in _DEFERRED:

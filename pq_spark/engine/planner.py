@@ -70,6 +70,14 @@ _MATH_FNS = {
     "abs", "ceil", "floor", "round", "sqrt", "exp", "ln", "log2", "log10",
     "sgn",
 }
+
+# statistical over-time extensions (Prometheus surface the reference lacks;
+# population moments + interpolated quantile — both expressible as grouped
+# aggregates AND as sliding-window expressions, so they ride the same
+# explode/fused adaptive strategy as the core over-time functions)
+_STAT_OVER_TIME_FNS = {
+    "quantile_over_time", "stddev_over_time", "stdvar_over_time",
+}
 DEFAULT_INTERVAL_MS = 1000
 
 
@@ -732,6 +740,20 @@ class Planner:
             if not isinstance(arg, RangeFrame):
                 raise PqError(f"{name} expects a range vector")
             return self._rate_family(name, arg)
+        if self.ctx.extensions and name in _STAT_OVER_TIME_FNS:
+            argnode = node.args[-1]
+            q = float(node.args[0]) if name == "quantile_over_time" else None
+            if (
+                isinstance(argnode, VectorSelector)
+                and argnode.duration_ms is not None
+                and math.ceil(argnode.duration_ms / self.ctx.interval_ms)
+                > self.FANOUT_SWITCH
+            ):
+                return self._over_time_fused(name, argnode, q)
+            arg = self.plan(argnode)
+            if not isinstance(arg, RangeFrame):
+                raise PqError(f"{name} expects a range vector")
+            return self._over_time(name, arg, q)
         if self.ctx.extensions and name in ("clamp", "clamp_max", "clamp_min"):
             arg = self.plan(node.args[0])
             if not isinstance(arg, VectorFrame):
@@ -830,7 +852,7 @@ class Planner:
             F.col("sig").alias("ord"),
         )
 
-    def _over_time(self, name: str, rf: RangeFrame) -> VectorFrame:
+    def _over_time(self, name: str, rf: RangeFrame, q: float | None = None) -> VectorFrame:
         g = rf.facts.groupBy("instant", "skey")
         if name == "count_over_time":
             val = F.count("value").cast("double")
@@ -848,13 +870,38 @@ class Planner:
             # diverging from Prometheus. Replicate with min_by over the
             # packed ordering key (HashAggregate-friendly).
             val = F.min_by("value", "_okey")
+        elif name in _STAT_OVER_TIME_FNS:
+            val = self._stat_over_time_val(name, q)
         else:  # pragma: no cover
             raise PqError(f"unknown over-time function {name}")
 
         facts = g.agg(val.alias("value"))
         return VectorFrame(rf.grid, facts, self._dropname_dim(rf.dim), rf.checks)
 
-    def _over_time_fused(self, name: str, sel: VectorSelector) -> VectorFrame:
+    @staticmethod
+    def _stat_over_time_val(name: str, q: float | None, w=None):
+        """Shared value expression for the statistical over-time
+        extensions, grouped (w=None) or windowed. Population moments
+        (Prometheus uses stddev/stdvar over the window population);
+        quantile is the exact interpolated percentile (Prometheus's
+        linear-interpolation quantile == SQL percentile_cont), with the
+        Prometheus out-of-range rule φ<0 → −Inf, φ>1 → +Inf."""
+        def over(c):
+            return c.over(w) if w is not None else c
+
+        if name == "stddev_over_time":
+            return over(F.stddev_pop("value"))
+        if name == "stdvar_over_time":
+            return over(F.var_pop("value"))
+        if q is not None and q < 0:
+            return F.lit(float("-inf"))
+        if q is not None and q > 1:
+            return F.lit(float("inf"))
+        return over(F.percentile("value", F.lit(q)))
+
+    def _over_time_fused(
+        self, name: str, sel: VectorSelector, q: float | None = None
+    ) -> VectorFrame:
         """High-fanout over-time functions (range ≫ interval): instead of
         exploding every sample into ceil(range/interval) window copies,
         union the samples with a (series × grid-instant) skeleton and
@@ -910,6 +957,8 @@ class Planner:
             # OLDEST point (reference quirk); min_by ignores the skeleton
             # rows' null ordering keys
             val = F.min_by("value", "_okey").over(w)
+        elif name in _STAT_OVER_TIME_FNS:
+            val = self._stat_over_time_val(name, q, w)
         else:  # pragma: no cover
             raise PqError(f"unknown over-time function {name}")
 

@@ -81,6 +81,10 @@ _FUNCTION_NAMES = [  # alternation order from expr.rs:423-436
     # the single-argument form (to_nearest fixed at 1).
     "absent", "abs", "ceil", "floor", "sqrt", "exp", "ln", "log10", "log2",
     "sgn", "round",
+    # statistical over-time extensions (tried by _function_call BEFORE
+    # _aggregate, so the 'stddev'/'quantile' aggregate-op prefixes never
+    # strand the '_over_time' suffix — the count_values bug class)
+    "quantile_over_time", "stddev_over_time", "stdvar_over_time",
 ]
 
 _FUNC_ARG_KINDS: dict[str, list[str]] = {
@@ -102,6 +106,9 @@ _FUNC_ARG_KINDS: dict[str, list[str]] = {
     "delta": ["range"],
     "idelta": ["range"],
     "absent": ["vector"],
+    "quantile_over_time": ["number", "range"],
+    "stddev_over_time": ["range"],
+    "stdvar_over_time": ["range"],
     "abs": ["vector"],
     "ceil": ["vector"],
     "floor": ["vector"],

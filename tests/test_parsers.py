@@ -378,6 +378,15 @@ def test_math_functions_parse():
     # a metric literally named like a function (no parens) stays a selector
     e = parse_expr("abs")
     assert not isinstance(e, FunctionCall)
+    # statistical over-time: the aggregate-op prefixes (stddev/quantile)
+    # must not strand the _over_time suffix (the count_values bug class —
+    # _function_call runs before _aggregate)
+    e = parse_expr("quantile_over_time(0.5, foo[2m])")
+    assert e.name == "quantile_over_time" and e.args[0] == 0.5
+    assert e.args[1].duration_ms == 120_000
+    for name in ("stddev_over_time", "stdvar_over_time"):
+        e = parse_expr(f"{name}(foo[1m])")
+        assert e.name == name and e.args[0].duration_ms == 60_000
 
 
 def test_number_literal_reference_table():

@@ -141,3 +141,34 @@ def test_tier_family_no_sort_aggregate(spark, name):
         l for l in plan.splitlines() if re.match(r"^\(\d+\) SortAggregate", l)
     ]
     assert not sort_aggs, f"{name}: SortAggregate in plan\n" + "\n".join(sort_aggs)
+
+
+# round-4 pipeline operators: the scale contracts are (a) no SortAggregate,
+# (b) no cartesian product anywhere (the engine's known 1-row bounds
+# broadcasts don't appear in these plans), and (c) contamination's
+# benchmark side enters as a BROADCAST hash join, never a shuffle join of
+# the corpus on a shingle key.
+PIPELINE_OPS = [
+    "sample_bernoulli",
+    "sample_stratified",
+    "text_clean",
+    "text_pii_redact",
+    "contam_overlap",
+    "text_repetition",
+    "shard_stats",
+    "pq_quantile_over_time",
+]
+
+
+@pytest.mark.parametrize("name", PIPELINE_OPS)
+def test_pipeline_ops_plan_shapes(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    plan = _formatted_plan(spark, df)
+    lines = plan.splitlines()
+    sort_aggs = [l for l in lines if re.match(r"^\(\d+\) SortAggregate", l)]
+    assert not sort_aggs, f"{name}: SortAggregate\n" + "\n".join(sort_aggs)
+    cart = [l for l in lines if "CartesianProduct" in l]
+    assert not cart, f"{name}: cartesian product\n" + "\n".join(cart)
+    if name == "contam_overlap":
+        assert "BroadcastHashJoin" in plan, "benchmark side must broadcast"
+        assert "SortMergeJoin" not in plan, "corpus must not shuffle-join on shingles"

@@ -238,6 +238,10 @@ def run_query_bench(spark, sf_dir: str, reps: int = 3) -> tuple[dict, dict]:
         "dedup_simhash",
         "ann_cosine_topk",
         "text_quality",
+        # round-4 additions (no round-1 bar — tracked from r4 onward)
+        "contam_overlap",
+        "sample_stratified",
+        "text_repetition",
     ]
     # warm-up pass (codegen/JIT/broadcast amortization) — not recorded
     for name in names:

@@ -771,7 +771,7 @@ class Planner:
             if not isinstance(arg, VectorFrame):
                 raise PqError(f"{name} expects an instant vector")
             return self._math_fn(name, arg)
-        if self.ctx.extensions and name == "absent":
+        if self.ctx.extensions and name in ("absent", "absent_over_time"):
             return self._absent(node.args[0])
         # reference: create_func_evaluator panics "Coming soon..."
         # (function.rs:27) for clamp*/vector/label_replace
@@ -798,11 +798,13 @@ class Planner:
         return VectorFrame(grid, facts, dim)
 
     def _absent(self, argnode) -> VectorFrame:
-        """Extension (Prometheus ``absent(v)``): at every grid instant
-        where ``v`` has NO series, emit a single sample of 1; where it has
-        any, emit nothing. The output series' labels are the argument
-        selector's equality matchers minus ``__name__`` (Prometheus rule;
-        empty labels for non-selector arguments).
+        """Extension (Prometheus ``absent(v)`` / ``absent_over_time(v[d])``):
+        at every grid instant where the argument has NO series (no sample
+        in its lookback/range window), emit a single sample of 1; where it
+        has any, emit nothing. Both argument shapes carry per-instant
+        facts, so one presence test serves both. The output series' labels
+        are the argument selector's equality matchers minus ``__name__``
+        (Prometheus rule; empty labels for non-selector arguments).
 
         Grid note: the result anchors on the FULL sample stream (like
         ``vector(s)``) — with ``--since`` set (the CLI/driver contract)
@@ -812,9 +814,16 @@ class Planner:
         left-anti join of the (tiny, grid-sized) instant skeleton against
         the argument's distinct instants."""
         inner = self.plan(argnode)
-        if not isinstance(inner, VectorFrame):
-            raise PqError("absent expects an instant vector")
-        _, grid = self._grid_params(self.ctx.samples, self.ctx.lookback_ms)
+        if not isinstance(inner, (VectorFrame, RangeFrame)):
+            raise PqError("absent expects a vector argument")
+        # drain horizon follows the ARGUMENT's window: for a range argument
+        # the grid runs to tsmax + range − 1 (the last instant whose window
+        # could still hold data), matching the selector-grid trailing-drain
+        # rule; t0 is unaffected (min(lb, interval) saturates at interval)
+        lb = self.ctx.lookback_ms
+        if isinstance(argnode, VectorSelector) and argnode.duration_ms:
+            lb = argnode.duration_ms
+        _, grid = self._grid_params(self.ctx.samples, lb)
         present = inner.facts.select("instant").distinct()
         missing = grid.join(present, "instant", "left_anti")
 

@@ -79,7 +79,10 @@ _FUNCTION_NAMES = [  # alternation order from expr.rs:423-436
     # Prometheus math functions (reference panics "Coming soon..." for any
     # function its evaluator lacks → pure extensions here). round() takes
     # the single-argument form (to_nearest fixed at 1).
-    "absent", "abs", "ceil", "floor", "sqrt", "exp", "ln", "log10", "log2",
+    # absent_over_time listed before absent (the "("-follows check makes
+    # either order correct; longest-prefix-first avoids relying on it)
+    "absent_over_time", "absent",
+    "abs", "ceil", "floor", "sqrt", "exp", "ln", "log10", "log2",
     "sgn", "round",
     # statistical over-time extensions (tried by _function_call BEFORE
     # _aggregate, so the 'stddev'/'quantile' aggregate-op prefixes never
@@ -106,6 +109,7 @@ _FUNC_ARG_KINDS: dict[str, list[str]] = {
     "delta": ["range"],
     "idelta": ["range"],
     "absent": ["vector"],
+    "absent_over_time": ["range"],
     "quantile_over_time": ["number", "range"],
     "stddev_over_time": ["range"],
     "stdvar_over_time": ["range"],

@@ -108,6 +108,26 @@ def test_group_left(spark):
             'req * on(job) group_left cap', sdf)
 
 
+def test_absent_and_absent_over_time(spark):
+    eng = PqEngine(spark, extensions=True)
+    rows = [(1, 1000, "m", {"__name__": "m", "a": "x"}, 5.0),
+            (2, 9000, "m", {"__name__": "m", "a": "x"}, 6.0)]
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    # absent: 1 where the instant-vector window is empty, labels from
+    # equality matchers minus __name__
+    got = _cells(eng.evaluate('absent(m{a="x"})', sdf, since_ms=1000,
+                              interval_ms=1000))
+    assert [t for (t, _, _) in got] == [2999, 3999, 4999, 5999, 6999, 7999, 8999]
+    assert all(l == (("a", "x"),) and v == 1.0 for (_, l, v) in got)
+    # absent_over_time: same presence test over the RANGE window
+    got = _cells(eng.evaluate('absent_over_time(m{a="x"}[3s])', sdf,
+                              since_ms=1000, interval_ms=1000))
+    assert [t for (t, _, _) in got] == [4999, 5999, 6999, 7999, 8999]
+    # non-extension sessions reject it
+    with pytest.raises(PqError):
+        PqEngine(spark, extensions=False).evaluate("absent(m)", sdf)
+
+
 def test_vector_const(spark):
     """Extension vector(s): one label-less series carrying s at every grid
     instant (the reference parses vector() but panics, ast.rs:294-331)."""

@@ -1497,6 +1497,25 @@ register(
 )
 
 register(
+    # timestamp(v): the latest window sample's ts in seconds (extension) —
+    # ms/1000.0 is one correctly-rounded double division, so no rounding
+    # contract is needed
+    "pq_timestamp",
+    lambda spark, sf: _cells(spark, sf, "timestamp(value)", MIN_MS,
+                             ("et", "ub"), "ts_s"),
+    f"""WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)},
+latest_ts AS (
+  SELECT instant, et, ub, ts_ms FROM (
+    SELECT g.instant, s.et, s.ub, s.ts_ms,
+           row_number() OVER (PARTITION BY g.instant, s.et, s.ub
+                              ORDER BY s.ts_ms DESC, s.event_id DESC) AS rn
+    FROM g JOIN s ON s.ts_ms > g.instant - {MIN_MS} AND s.ts_ms <= g.instant
+  ) WHERE rn = 1
+)
+SELECT instant, et, ub, ts_ms / 1000.0 AS ts_s FROM latest_ts""",
+)
+
+register(
     # absent(): 1 at instants where the selector has no series, labels from
     # its equality matchers (Prometheus rule; extension family)
     "pq_absent",
@@ -1741,6 +1760,10 @@ _DEFERRED = [
                                # r03; deferred to admit text_repetition
     "pq_vector_const",         # family: vector(s) const series — green r03;
                                # deferred to admit pq_quantile_over_time
+    "pq_clamp",                # family: elementwise value transforms —
+                               # pq_math_fns (same fact-transform +
+                               # name-drop shape) stays; green r02/r03;
+                               # deferred to admit pq_timestamp
 ]
 
 for _n in _DEFERRED:

@@ -773,6 +773,8 @@ class Planner:
             return self._math_fn(name, arg)
         if self.ctx.extensions and name in ("absent", "absent_over_time"):
             return self._absent(node.args[0])
+        if self.ctx.extensions and name == "timestamp":
+            return self._timestamp(node.args[0])
         # reference: create_func_evaluator panics "Coming soon..."
         # (function.rs:27) for clamp*/vector/label_replace
         raise PqError(f"function {name} is not implemented")
@@ -848,6 +850,37 @@ class Planner:
             label_expr.alias("labels"), sigc.alias("ord"),
         )
         return VectorFrame(grid, facts, dim, inner.checks)
+
+    def _timestamp(self, argnode) -> VectorFrame:
+        """Extension (Prometheus ``timestamp(v)``): the timestamp of each
+        series' latest sample in the lookback window, in SECONDS with ms
+        fraction, metric name dropped. Implemented by substituting
+        ``value := ts / 1000`` on the sample source BEFORE the selector
+        plan runs: the serving gap-fill already picks the latest sample
+        per (instant, series), and that sample's value IS its timestamp —
+        no new plan shape, the standard selector explode/window strategy
+        applies unchanged (ms/1000.0 is one correctly-rounded double
+        division, bit-reproducible in any engine)."""
+        if not isinstance(argnode, VectorSelector) or argnode.duration_ms:
+            raise PqError("timestamp expects an instant vector selector")
+        from dataclasses import replace
+
+        swapped = replace(
+            self.ctx,
+            samples=self.ctx.samples.withColumn(
+                "value", F.col("ts") / F.lit(1000.0)
+            ),
+            persisted=self.ctx.persisted,
+        )
+        saved, self.ctx = self.ctx, swapped
+        try:
+            inner = self.plan(argnode)
+        finally:
+            self.ctx = saved
+        return VectorFrame(
+            inner.grid, inner.facts, self._dropname_dim(inner.dim),
+            inner.checks,
+        )
 
     @staticmethod
     def _dropname_dim(dim: DataFrame) -> DataFrame:

@@ -83,7 +83,7 @@ _FUNCTION_NAMES = [  # alternation order from expr.rs:423-436
     # either order correct; longest-prefix-first avoids relying on it)
     "absent_over_time", "absent",
     "abs", "ceil", "floor", "sqrt", "exp", "ln", "log10", "log2",
-    "sgn", "round",
+    "sgn", "round", "timestamp",
     # statistical over-time extensions (tried by _function_call BEFORE
     # _aggregate, so the 'stddev'/'quantile' aggregate-op prefixes never
     # strand the '_over_time' suffix — the count_values bug class)
@@ -123,6 +123,7 @@ _FUNC_ARG_KINDS: dict[str, list[str]] = {
     "log2": ["vector"],
     "sgn": ["vector"],
     "round": ["vector"],
+    "timestamp": ["vector"],
 }
 
 

@@ -1516,6 +1516,27 @@ SELECT instant, et, ub, ts_ms / 1000.0 AS ts_s FROM latest_ts""",
 )
 
 register(
+    # calendar-function family composed over timestamp(): the hour (UTC)
+    # of each series' latest window sample — exercises both extensions
+    # and the truncate-toward-zero epoch-seconds read
+    "pq_hour_of_ts",
+    lambda spark, sf: _cells(spark, sf, "hour(timestamp(value))", MIN_MS,
+                             ("et", "ub"), "hr"),
+    f"""WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)},
+latest_ts AS (
+  SELECT instant, et, ub, ts_ms FROM (
+    SELECT g.instant, s.et, s.ub, s.ts_ms,
+           row_number() OVER (PARTITION BY g.instant, s.et, s.ub
+                              ORDER BY s.ts_ms DESC, s.event_id DESC) AS rn
+    FROM g JOIN s ON s.ts_ms > g.instant - {MIN_MS} AND s.ts_ms <= g.instant
+  ) WHERE rn = 1
+)
+SELECT instant, et, ub,
+       CAST(hour(make_timestamp((ts_ms // 1000) * 1000000)) AS DOUBLE) AS hr
+FROM latest_ts""",
+)
+
+register(
     # absent(): 1 at instants where the selector has no series, labels from
     # its equality matchers (Prometheus rule; extension family)
     "pq_absent",
@@ -1764,6 +1785,10 @@ _DEFERRED = [
                                # pq_math_fns (same fact-transform +
                                # name-drop shape) stays; green r02/r03;
                                # deferred to admit pq_timestamp
+    "dedup_embedding_pairs",   # family: embedding near-dup — green r02/r03;
+                               # embedding ops still repped by ann_cosine/
+                               # ann_lsh/ann_ivf rows; deferred to admit
+                               # pq_hour_of_ts (calendar fns)
 ]
 
 for _n in _DEFERRED:

@@ -71,6 +71,13 @@ _MATH_FNS = {
     "sgn",
 }
 
+# Prometheus calendar functions (extensions — see _math_fn): interpret the
+# sample VALUE as epoch seconds in UTC, e.g. hour(timestamp(v))
+_CALENDAR_FNS = {
+    "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+    "days_in_month", "month", "year",
+}
+
 # statistical over-time extensions (Prometheus surface the reference lacks;
 # population moments + interpolated quantile — both expressible as grouped
 # aggregates AND as sliding-window expressions, so they ride the same
@@ -766,7 +773,7 @@ class Planner:
             return self._label_replace(arg, *node.args[1:5])
         if self.ctx.extensions and name == "vector":
             return self._vector_const(float(node.args[0]))
-        if self.ctx.extensions and name in _MATH_FNS:
+        if self.ctx.extensions and name in _MATH_FNS | _CALENDAR_FNS:
             arg = self.plan(node.args[0])
             if not isinstance(arg, VectorFrame):
                 raise PqError(f"{name} expects an instant vector")
@@ -1134,6 +1141,18 @@ class Planner:
                 .otherwise(nan)
             )
 
+        def calendar(field_fn):
+            # Prometheus calendar fns read the VALUE as epoch seconds
+            # (UTC session): truncate toward zero like Go's int64(v), guard
+            # the long casts to |v| < 1e11 (~year 5138) — beyond that (or
+            # NaN/±Inf) the result is NaN, keeping ANSI sessions total
+            secs = F.when(v >= 0, F.floor(v)).otherwise(F.ceil(v))
+            ts = F.timestamp_seconds(secs)
+            return F.when(
+                ~F.isnan(v) & (F.abs(v) < F.lit(1e11)),
+                field_fn(ts).cast("double"),
+            ).otherwise(nan)
+
         exprs = {
             "abs": lambda: F.abs(v),
             "ceil": lambda: intish(F.ceil),
@@ -1147,6 +1166,17 @@ class Planner:
             "log2": lambda: logish(F.log2),
             "log10": lambda: logish(F.log10),
             "sgn": lambda: F.signum(v),
+            "minute": lambda: calendar(F.minute),
+            "hour": lambda: calendar(F.hour),
+            # Prometheus: Sunday = 0; Spark dayofweek: Sunday = 1
+            "day_of_week": lambda: calendar(lambda t: F.dayofweek(t) - F.lit(1)),
+            "day_of_month": lambda: calendar(F.dayofmonth),
+            "day_of_year": lambda: calendar(F.dayofyear),
+            "days_in_month": lambda: calendar(
+                lambda t: F.dayofmonth(F.last_day(t))
+            ),
+            "month": lambda: calendar(F.month),
+            "year": lambda: calendar(F.year),
         }
         facts = vf.facts.withColumn("value", exprs[name]())
         out_labels = _labels_without(F.col("labels"), [])

@@ -84,6 +84,9 @@ _FUNCTION_NAMES = [  # alternation order from expr.rs:423-436
     "absent_over_time", "absent",
     "abs", "ceil", "floor", "sqrt", "exp", "ln", "log10", "log2",
     "sgn", "round", "timestamp",
+    # calendar functions (value read as epoch seconds, UTC)
+    "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+    "days_in_month", "month", "year",
     # statistical over-time extensions (tried by _function_call BEFORE
     # _aggregate, so the 'stddev'/'quantile' aggregate-op prefixes never
     # strand the '_over_time' suffix — the count_values bug class)
@@ -124,6 +127,14 @@ _FUNC_ARG_KINDS: dict[str, list[str]] = {
     "sgn": ["vector"],
     "round": ["vector"],
     "timestamp": ["vector"],
+    "minute": ["vector"],
+    "hour": ["vector"],
+    "day_of_week": ["vector"],
+    "day_of_month": ["vector"],
+    "day_of_year": ["vector"],
+    "days_in_month": ["vector"],
+    "month": ["vector"],
+    "year": ["vector"],
 }
 
 

@@ -1688,7 +1688,8 @@ top AS (
          CASE WHEN nc > 0 THEN round(c * length(g) * 1.0 / nc, 6)
               ELSE 0.0 END AS top_bigram_frac,
          row_number() OVER (PARTITION BY doc_id
-                            ORDER BY c DESC, g ASC) AS rn
+                            ORDER BY c DESC,
+                                     {_hash_sql('g', 'rep')} ASC) AS rn
   FROM bc),
 fg AS (
   SELECT doc_id, nc,

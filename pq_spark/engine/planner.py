@@ -697,7 +697,18 @@ class Planner:
                 agg = g.agg((F.sum("value") / F.count("value")).alias("value"))
             elif op == "quantile":
                 q = float(node.argument)
-                agg = g.agg(F.expr(f"percentile(value, {q})").alias("value"))
+                # Prometheus out-of-range rule: NaN→NaN, φ<0→−Inf, φ>1→+Inf
+                # (Spark's percentile rejects all three at runtime)
+                if math.isnan(q):
+                    agg = g.agg(F.lit(float("nan")).alias("value"))
+                elif q < 0:
+                    agg = g.agg(F.lit(float("-inf")).alias("value"))
+                elif q > 1:
+                    agg = g.agg(F.lit(float("inf")).alias("value"))
+                else:
+                    agg = g.agg(
+                        F.expr(f"percentile(value, {q})").alias("value")
+                    )
             elif op == "stddev":
                 agg = g.agg(F.stddev_pop("value").alias("value"))
             elif op == "stdvar":
@@ -942,6 +953,10 @@ class Planner:
             return over(F.stddev_pop("value"))
         if name == "stdvar_over_time":
             return over(F.var_pop("value"))
+        # NaN first: it passes both range guards (NaN<0 and NaN>1 are
+        # false) but Spark's percentile rejects it — Prometheus says NaN
+        if q is not None and math.isnan(q):
+            return F.lit(float("nan"))
         if q is not None and q < 0:
             return F.lit(float("-inf"))
         if q is not None and q > 1:

@@ -45,6 +45,22 @@ def test_quantile_stddev(spark, samples):
     assert abs(got[0][2] - 8.0 / 3.0) < 1e-12
 
 
+def test_quantile_phi_nan_and_out_of_range(spark, samples):
+    # Prometheus rule: φ=NaN → NaN (Spark's percentile would reject it at
+    # runtime — NaN passes both range guards), φ<0 → −Inf, φ>1 → +Inf;
+    # same for the over-time variant (round-4 ADVICE item)
+    import math
+
+    eng = PqEngine(spark, extensions=True)
+    for q in ["quantile(NaN, m)", "quantile_over_time(NaN, m[1s])"]:
+        got = _cells(eng.evaluate(q, samples))
+        assert got and all(math.isnan(v) for (_, _, v) in got), q
+    got = _cells(eng.evaluate("quantile(-0.5, m)", samples))
+    assert got and all(v == float("-inf") for (_, _, v) in got)
+    got = _cells(eng.evaluate("quantile(1.5, m)", samples))
+    assert got and all(v == float("inf") for (_, _, v) in got)
+
+
 def test_clamp(spark, samples):
     eng = PqEngine(spark, extensions=True)
     got = _cells(eng.evaluate("clamp(m, 2, 4)", samples))

@@ -20,6 +20,24 @@ runtime jars, so tables are parquet directories):
 - the manifest JSON per partition records the fingerprint, row counts, and
   stage metrics; ``_snapshots/`` keeps an append-only log of every commit
   (which partitions were written vs skipped) — the resume audit trail.
+
+Snapshot isolation (round-4 verdict item 7 — the two Iceberg semantics the
+catalog seam needs, delivered reader-side):
+
+- data files are immutable: each commit writes its changed partitions under
+  a fresh ``data/<commit-id>/date=.../`` directory — nothing is overwritten
+  in place, so files referenced by an existing snapshot never change;
+- a numbered snapshot manifest ``_snapshots/v<N>.json`` maps every live
+  partition to its concrete data directory (unchanged partitions carry
+  their previous paths forward), and ``_snapshots/CURRENT`` is swapped to
+  ``N`` with an atomic rename only after the manifest is complete — a
+  reader that opens mid-commit resolves the PREVIOUS complete snapshot;
+- ``read(..., snapshot_id=K)`` time-travels to any retained snapshot;
+- concurrent writers converge without a catalog CAS: each commit composes
+  its snapshot from a scan of ALL per-partition manifests and then
+  re-checks that CURRENT's content matches a fresh scan, swapping again if
+  a concurrent commit raced it (bounded retries; manifests only grow, so
+  the last re-check in wall-clock order certifies the final state).
 """
 
 from __future__ import annotations
@@ -27,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
@@ -75,6 +94,81 @@ class TierStore:
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, "log.jsonl"), "a") as f:
             f.write(json.dumps(entry, sort_keys=True) + "\n")
+
+    # -- snapshot manifests (reader-side isolation + time travel) -------------
+
+    def _snapshots_dir(self, table: str) -> str:
+        return os.path.join(self.base_path, table, "_snapshots")
+
+    def _scan_manifest_parts(self, table: str) -> dict[str, str]:
+        """Partition → relative data dir, from the per-partition manifests
+        (the writer-side source of truth; a manifest is written only after
+        its partition's data files are complete)."""
+        d = self._lineage_dir(table)
+        parts: dict[str, str] = {}
+        if not os.path.isdir(d):
+            return parts
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".json") or fn.endswith(".tmp"):
+                continue
+            try:
+                with open(os.path.join(d, fn)) as f:
+                    m = json.load(f)
+            except (json.JSONDecodeError, OSError):  # mid-rename straggler
+                continue
+            if m.get("data_path"):
+                parts[m["partition"]] = m["data_path"]
+        return parts
+
+    def current_snapshot_id(self, table: str) -> int | None:
+        p = os.path.join(self._snapshots_dir(table), "CURRENT")
+        try:
+            with open(p) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def read_snapshot(self, table: str, snapshot_id: int) -> dict | None:
+        p = os.path.join(self._snapshots_dir(table), f"v{snapshot_id}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _publish_snapshot(self, table: str, attempts: int = 5) -> int:
+        """Compose a snapshot from the manifest scan and swap CURRENT to it
+        atomically; re-check after the swap so concurrent disjoint-partition
+        commits converge (see module docstring)."""
+        d = self._snapshots_dir(table)
+        os.makedirs(d, exist_ok=True)
+        last_id = self.current_snapshot_id(table) or 0
+        for _ in range(attempts):
+            parts = self._scan_manifest_parts(table)
+            cur_id = self.current_snapshot_id(table)
+            if cur_id is not None:
+                cur = self.read_snapshot(table, cur_id)
+                if cur is not None and cur.get("parts") == parts:
+                    return cur_id
+                last_id = cur_id
+            nid = last_id + 1
+            while True:  # unique id under concurrency: O_EXCL create
+                path = os.path.join(d, f"v{nid}.json")
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    nid += 1
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {"id": nid, "ts": time.time(), "parts": parts},
+                    f, sort_keys=True,
+                )
+            tmp = os.path.join(d, f"CURRENT.tmp.{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                f.write(str(nid))
+            os.replace(tmp, os.path.join(d, "CURRENT"))
+            last_id = nid
+        return last_id
 
     # -- fingerprint -----------------------------------------------------------
 
@@ -142,20 +236,19 @@ class TierStore:
 
         if stale:
             out = df.filter(F.col(part_col).isin([p for p in stale]))
-            spark = df.sparkSession
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                (
-                    # repartition by the partition value: one writer set per
-                    # partition instead of (tasks × partitions) small files
-                    out.repartition(F.col(part_col))
-                    .write.mode("overwrite")
-                    .partitionBy(part_col)
-                    .parquet(result.table_path)
-                )
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            # immutable data files: every commit writes under a fresh
+            # commit-id directory so files referenced by existing snapshots
+            # are never touched — the write needs no overwrite mode at all
+            cid = uuid.uuid4().hex[:12]
+            data_rel = os.path.join("data", cid)
+            (
+                # repartition by the partition value: one writer set per
+                # partition instead of (tasks × partitions) small files
+                out.repartition(F.col(part_col))
+                .write.mode("error")
+                .partitionBy(part_col)
+                .parquet(os.path.join(result.table_path, data_rel))
+            )
 
             for part in stale:
                 self._write_manifest(
@@ -165,6 +258,9 @@ class TierStore:
                         "partition": str(part),
                         "fingerprint": fps[part],
                         "schema_version": SCHEMA_VERSION,
+                        "data_path": os.path.join(
+                            data_rel, f"{part_col}={part}"
+                        ),
                         "written_at": time.time(),
                         "metrics": stage_metrics or {},
                     },
@@ -189,10 +285,38 @@ class TierStore:
                 "metrics": result.metrics,
             },
         )
+        result.metrics["snapshot_id"] = self._publish_snapshot(table)
         return result
 
-    def read(self, spark, table: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.base_path, table))
+    def read(self, spark, table: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table at CURRENT (default) or at a retained snapshot id
+        (time travel). Resolution is one pointer read + one manifest load —
+        a reader racing a writer sees the previous complete snapshot until
+        the writer's atomic CURRENT swap."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id(table)
+        if sid is None:
+            # pre-snapshot table (or bare parquet dir): raw read
+            return spark.read.parquet(os.path.join(self.base_path, table))
+        snap = self.read_snapshot(table, sid)
+        if snap is None:
+            raise FileNotFoundError(
+                f"snapshot v{sid} of table {table!r} does not exist"
+            )
+        root = os.path.join(self.base_path, table)
+        by_cid: dict[str, list[str]] = {}
+        for rel in snap["parts"].values():
+            by_cid.setdefault(os.path.dirname(rel), []).append(
+                os.path.join(root, rel)
+            )
+        dfs = [
+            spark.read.option("basePath", os.path.join(root, cid_dir))
+            .parquet(*sorted(paths))
+            for cid_dir, paths in sorted(by_cid.items())
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
 
 def with_date(df: DataFrame, ts_col: str = "bucket_ts") -> DataFrame:

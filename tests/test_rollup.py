@@ -211,6 +211,64 @@ def test_concurrent_commits_one_table(spark, tmp_path, samples):
     tier.unpersist()
 
 
+def test_reader_isolation_mid_commit(spark, tmp_path, samples):
+    """Round-4 verdict item 7a: a reader opening MID-COMMIT — after the
+    new data files and partition manifests are written but before the
+    CURRENT pointer swap — must see the previous complete snapshot."""
+    store = TierStore(str(tmp_path))
+    tier = with_date(rollup_tier(samples, "1h")).cache()
+    r1 = store.commit(tier, "t_iso")
+    v1 = r1.metrics["snapshot_id"]
+    n1 = store.read(spark, "t_iso").count()
+    s1 = store.read(spark, "t_iso").agg(F.sum("cnt")).first()[0]
+
+    bumped = tier.withColumn("cnt", F.col("cnt") + 1)
+    real_publish = TierStore._publish_snapshot
+    # freeze the commit right before the pointer swap: data + manifests
+    # land, CURRENT does not move — exactly the mid-commit window
+    TierStore._publish_snapshot = lambda self, table, attempts=5: -1
+    try:
+        store.commit(bumped, "t_iso")
+        assert store.current_snapshot_id("t_iso") == v1
+        mid = store.read(spark, "t_iso")
+        assert mid.count() == n1
+        assert mid.agg(F.sum("cnt")).first()[0] == s1, (
+            "mid-commit reader saw the in-flight commit's data"
+        )
+    finally:
+        TierStore._publish_snapshot = real_publish
+
+    # completing the publish exposes the new snapshot to new readers
+    v2 = store._publish_snapshot("t_iso")
+    assert v2 > v1
+    assert store.read(spark, "t_iso").agg(F.sum("cnt")).first()[0] == s1 + n1
+    tier.unpersist()
+
+
+def test_time_travel_read(spark, tmp_path, samples):
+    """Round-4 verdict item 7b: read a table AT an older snapshot id;
+    snapshot files are immutable so the old view is byte-stable even
+    after later commits rewrite every partition."""
+    store = TierStore(str(tmp_path))
+    tier = with_date(rollup_tier(samples, "1h")).cache()
+    v1 = store.commit(tier, "t_tt").metrics["snapshot_id"]
+    s1 = store.read(spark, "t_tt").agg(F.sum("cnt")).first()[0]
+    n1 = store.read(spark, "t_tt").count()
+
+    v2 = store.commit(
+        tier.withColumn("cnt", F.col("cnt") + 1), "t_tt"
+    ).metrics["snapshot_id"]
+    assert v2 > v1
+    # current view reflects the rewrite; the v1 view is unchanged
+    assert store.read(spark, "t_tt").agg(F.sum("cnt")).first()[0] == s1 + n1
+    old = store.read(spark, "t_tt", snapshot_id=v1)
+    assert old.count() == n1
+    assert old.agg(F.sum("cnt")).first()[0] == s1
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, "t_tt", snapshot_id=999)
+    tier.unpersist()
+
+
 def test_full_pipeline(spark, tmp_path, pages):
     metrics = run_pipeline(spark, pages, str(tmp_path / "tiers"), salt_buckets=4)
     assert metrics["rolled_up_points"] > 0
@@ -377,8 +435,11 @@ def test_crash_mid_commit_resume(spark, tmp_path, samples):
     assert sorted(res.skipped) == sorted(committed)
     assert sorted(res.written) == sorted(set(clean_counts) - committed)
 
-    # on-disk content equals a clean single commit: no loss, no double-write
-    back = spark.read.parquet(str(tmp_path / "store/tier_1h"))
+    # the published snapshot equals a clean single commit: no loss, no
+    # double-write — the crashed commit's unmanifested data dirs are
+    # orphans no snapshot references (raw-dir reads are no longer
+    # meaningful: data files are immutable per-commit dirs)
+    back = TierStore(str(tmp_path / "store")).read(spark, "tier_1h")
     got_counts = {
         str(r["date"]): r["count"] for r in back.groupBy("date").count().collect()
     }

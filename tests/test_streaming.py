@@ -217,3 +217,92 @@ def test_streaming_hll_tier_matches_batch_cascade(spark, tmp_path):
     # batch cascade over STREAMED sketches: 1m → 1h distinct users
     hourly = est(hll_tier_from_tier(streamed, 3_600_000))
     assert hourly == {(0, "a"): 2, (0, "b"): 1, (3_600_000, "b"): 2}
+
+
+def test_streaming_pq_query_serving_equals_batch(spark, tmp_path):
+    """Round-4 verdict item 2: pq SELECTs run as a STREAMING query
+    end-to-end — stream → watermarked tier partials → the real engine
+    over the partials — with output hash-equal to the batch engine over
+    the raw samples, on an out-of-order fixture (file 2 delivers rows
+    EARLIER than file 1's max event time, in a separate micro-batch).
+    Values are multiples of 0.25 so float sums are order-exact."""
+    import os
+
+    from pq_spark.engine.runner import PqEngine
+    from pq_spark.streaming import (
+        pq_query_from_streamed_tier,
+        stream_samples_with_sig2,
+        streaming_tier,
+    )
+
+    schema = "seq long, ts long, et string, ub string, value double"
+    rows1 = [
+        {"seq": 1, "ts": 5_000, "et": "click", "ub": "0", "value": 1.25},
+        {"seq": 2, "ts": 41_000, "et": "click", "ub": "0", "value": 2.5},
+        {"seq": 3, "ts": 65_000, "et": "view", "ub": "1", "value": 4.0},
+        {"seq": 4, "ts": 185_000, "et": "click", "ub": "1", "value": 8.75},
+    ]
+    rows2 = [
+        # out-of-order: all EARLIER than file 1's max (185 s), one inside
+        # an already-seen bucket of an existing series (must update its
+        # last_val) and one opening a new series in a past bucket
+        {"seq": 5, "ts": 50_000, "et": "click", "ub": "0", "value": 16.5},
+        {"seq": 6, "ts": 70_000, "et": "view", "ub": "0", "value": 32.25},
+        {"seq": 7, "ts": 130_000, "et": "view", "ub": "1", "value": 64.0},
+    ]
+    _write_jsonl(tmp_path / "part-0.jsonl", rows1)
+    _write_jsonl(tmp_path / "part-1.jsonl", rows2)
+    now = time.time()
+    os.utime(tmp_path / "part-0.jsonl", (now - 60, now - 60))
+    os.utime(tmp_path / "part-1.jsonl", (now, now))
+
+    def to_samples(df):
+        return df.select(
+            "seq", "ts", F.lit("m").alias("name"),
+            F.create_map(
+                F.lit("__name__"), F.lit("m"),
+                F.lit("et"), F.col("et"), F.lit("ub"), F.col("ub"),
+            ).alias("labels"),
+            "value",
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path))
+    )
+    # watermark ≙ lookback (pq's purge rule); complete mode keeps the
+    # bounded replay's final windows observable
+    tier = streaming_tier(
+        stream_samples_with_sig2(to_samples(stream)), "1m",
+        watermark="1 minutes",
+    )
+    streamed = _run_stream(
+        spark, tier, f"pqserve_{int(time.time()*1000)}", mode="complete"
+    )
+
+    raw = to_samples(spark.read.schema(schema).json(str(tmp_path)))
+    eng = PqEngine(spark, strict=False, extensions=True)
+
+    def cells(vf):
+        return sorted(
+            (r["instant"], tuple(sorted((r["labels"] or {}).items())), r["value"])
+            for r in vf.cells.collect()
+        )
+
+    # instant-vector aggregation: served from last_val partials
+    got = cells(pq_query_from_streamed_tier(
+        spark, streamed, "sum by(et) (m)", 0, 60_000))
+    want = cells(eng.evaluate(
+        "sum by(et) (m)", raw, since_ms=0, interval_ms=60_000,
+        lookback_ms=60_000))
+    assert got == want and len(got) > 0
+
+    # over-time: served from the sum partial, range == tier and range > tier
+    for rng in ("1m", "3m"):
+        got = cells(pq_query_from_streamed_tier(
+            spark, streamed, f"sum_over_time(m[{rng}])", 0, 60_000,
+            value_col="sum"))
+        want = cells(eng.evaluate(
+            f"sum_over_time(m[{rng}])", raw, since_ms=0, interval_ms=60_000))
+        assert got == want and len(got) > 0, rng

@@ -318,6 +318,90 @@ class SimExt(Sim):
             ]
         return grid, out
 
+    @staticmethod
+    def _civil_from_days(z: int):
+        """Proleptic-Gregorian (year, month, day) from days since
+        1970-01-01 (Howard Hinnant's public civil_from_days algorithm) —
+        pure integer arithmetic so negative/huge epochs match Spark's
+        java.time exactly where Python's datetime (year ≥ 1) cannot."""
+        z += 719468
+        # Python // already floors (the C++ original's `z - 146096` branch
+        # compensates for truncating division — applying it here would
+        # double-correct negative eras)
+        era = z // 146097
+        doe = z - era * 146097
+        yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+        y = yoe + era * 400
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = (5 * doy + 2) // 153
+        d = doy - (153 * mp + 2) // 5 + 1
+        m = mp + 3 if mp < 10 else mp - 9
+        return y + (1 if m <= 2 else 0), m, d
+
+    def calendar_fn(self, name, frame):
+        """Prometheus calendar functions (engine extensions): read the
+        VALUE as epoch seconds UTC, truncate toward zero; NaN for NaN/±Inf
+        or |v| ≥ 1e11 (the engine's ANSI-total long-cast guard); metric
+        name dropped. Sunday = 0 for day_of_week."""
+
+        def f(v):
+            if math.isnan(v) or math.isinf(v) or abs(v) >= 1e11:
+                return float("nan")
+            secs = math.floor(v) if v >= 0 else math.ceil(v)
+            days, sod = divmod(secs, 86_400)  # Python divmod floors
+            if name == "minute":
+                return float((sod // 60) % 60)
+            if name == "hour":
+                return float(sod // 3_600)
+            if name == "day_of_week":
+                return float((days + 4) % 7)  # 1970-01-01 = Thursday = 4
+            y, m, d = self._civil_from_days(days)
+            if name == "day_of_month":
+                return float(d)
+            if name == "month":
+                return float(m)
+            if name == "year":
+                return float(y)
+            leap = y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+            dim = (31, 29 if leap else 28, 31, 30, 31, 30,
+                   31, 31, 30, 31, 30, 31)
+            if name == "days_in_month":
+                return float(dim[m - 1])
+            if name == "day_of_year":
+                return float(sum(dim[: m - 1]) + d)
+            raise AssertionError(name)
+
+        grid, cells = frame
+        out = {}
+        for t, series in cells.items():
+            out[t] = [
+                ({k: x for k, x in labels.items() if k != NAME}, f(v))
+                for labels, v in series
+            ]
+        return grid, out
+
+    def timestamp(self, matchers):
+        """Prometheus ``timestamp(v)``: value := ts/1000 substituted on
+        the sample source BEFORE the selector runs (the engine's source
+        substitution), metric name dropped."""
+        saved = self.samples
+        self.samples = [
+            (seq, ts, labels, ts / 1000.0)
+            for (seq, ts, labels, _v) in saved
+        ]
+        try:
+            grid, cells = self.selector(matchers)
+        finally:
+            self.samples = saved
+        out = {
+            t: [
+                ({k: x for k, x in labels.items() if k != NAME}, v)
+                for labels, v in series
+            ]
+            for t, series in cells.items()
+        }
+        return grid, out
+
     def topk(self, k, frame, modifier=None, bottom=False):
         grid, cells = frame
         out_cells = {}

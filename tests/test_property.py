@@ -151,12 +151,68 @@ def _sim_query(sim: Sim, q: str):
         return sim.rate_family(
             "delta", sim.selector([(NAME, "=", "m")], duration=2000)
         )
-    if q in ("abs(m)", "ceil(m)", "round(m)", "sqrt(m)", "sgn(m)"):
+    if q in ("abs(m)", "ceil(m)", "floor(m)", "round(m)", "sqrt(m)", "sgn(m)"):
         return sim.math_fn(q.split("(")[0], sim.selector([(NAME, "=", "m")]))
     if q == "floor(sqrt(abs(m)))":
         g = sim.math_fn("abs", sim.selector([(NAME, "=", "m")]))
         return sim.math_fn("floor", sim.math_fn("sqrt", g))
+    if q == "timestamp(m)":
+        return sim.timestamp([(NAME, "=", "m")])
+    if q.endswith("(timestamp(m))"):
+        return sim.calendar_fn(q.split("(")[0], sim.timestamp([(NAME, "=", "m")]))
+    if q.split("(")[0] in _CAL_FN_NAMES and q.endswith("(m)"):
+        return sim.calendar_fn(q.split("(")[0], sim.selector([(NAME, "=", "m")]))
     raise AssertionError(q)
+
+
+_CAL_FN_NAMES = {
+    "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+    "days_in_month", "month", "year",
+}
+
+# round-4 verdict item 8: composed calendar chains + the guard-boundary
+# regression sites (|v| ≥ 2^52 int-pass-through; |v| ≥ 1e11 calendar NaN)
+CAL_QUERIES = [
+    "timestamp(m)",
+    "hour(timestamp(m))",
+    "minute(timestamp(m))",
+    "day_of_week(timestamp(m))",
+    "hour(m)",
+    "minute(m)",
+    "day_of_month(m)",
+    "day_of_year(m)",
+    "days_in_month(m)",
+    "month(m)",
+    "year(m)",
+    "ceil(m)",
+    "floor(m)",
+    "round(m)",
+    "sgn(m)",
+]
+
+# values straddling both guards exactly: ±2^52 (first non-representable
+# fraction — ceil/floor/round must pass through), ±1e11 (calendar NaN
+# cutoff), NaN/±Inf, negative epochs (truncate-toward-zero), real epochs
+BOUNDARY_VALUES = [
+    0.0, 1.5, -2.5, -0.5,
+    2.0 ** 52, -(2.0 ** 52), 2.0 ** 52 - 1.0, -(2.0 ** 52 - 1.0),
+    2.0 ** 52 + 2.0,
+    1e11, -1e11, 1e11 - 1.0, -(1e11 - 1.0), 99_999_999_999.5,
+    float("inf"), float("-inf"), float("nan"),
+    1_704_067_200.0,  # 2024-01-01T00:00:00Z
+    -1_000.5, 86_399.999, 951_827_696.0,  # leap-year Feb (2000-02-29)
+]
+
+boundary_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["m"]),
+        st.sampled_from([("a", "x"), ("a", "y"), ("b", "z")]),
+        st.integers(min_value=0, max_value=8_000),
+        st.sampled_from(BOUNDARY_VALUES),
+    ),
+    min_size=1,
+    max_size=12,
+)
 
 
 def _interval_for(q: str) -> int:
@@ -342,3 +398,16 @@ def test_engine_matches_simulator_offset(spark, data, offset):
             f"{q}: cells mismatch\n sim={_canon_cells(expected_cells)}\n "
             f"eng={_canon_cells(got_cells)}\n data={data} offset={offset}"
         )
+
+
+@pytest.mark.slow
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=boundary_strategy)
+def test_engine_matches_simulator_calendar_boundaries(spark, data):
+    """Round-4 verdict item 8: composed hour(timestamp(v))-style chains
+    and the |v| >= 2^52 / 1e11 guard boundaries vs the independent
+    simulator — the likeliest regression sites for the math/calendar
+    family (NaN/Inf propagation, truncate-toward-zero negative epochs,
+    leap-year day counts)."""
+    _check_queries(spark, data, CAL_QUERIES)

@@ -242,6 +242,9 @@ def run_query_bench(spark, sf_dir: str, reps: int = 3) -> tuple[dict, dict]:
         "contam_overlap",
         "sample_stratified",
         "text_repetition",
+        # round-5: composed multi-operator stress (topk ∘ sum-by ∘ rate) —
+        # single-family headlines hide composed-plan regressions
+        "pq_stress_topk_rate",
     ]
     # warm-up pass (codegen/JIT/broadcast amortization) — not recorded
     for name in names:

@@ -295,6 +295,35 @@ register(
     "  FROM win GROUP BY instant, et, ub) WHERE n >= 2 AND lt > ft",
 )
 
+register(
+    # composed multi-operator stress query (round-4 verdict item 9): a
+    # rate window feeding a grouped sum feeding topk — three plan families
+    # in one expression, where single-family benches hide regressions.
+    # topk compares UNROUNDED sums on both sides (rounding at output);
+    # ties break on the series sig order == et ascending.
+    "pq_stress_topk_rate",
+    lambda spark, sf: _cells(
+        spark, sf, "topk(3, sum by(et) (rate(value[5m])))", MIN_MS,
+        ("et",), "topv", round6=True,
+    ),
+    f"""WITH {_S_CTE}, {_grid_cte(MIN_MS, _W5)}, {_window_cte(_W5)},
+r AS (
+  SELECT instant, et, ub, (lv - fv) / ((lt - ft) / 1000.0) AS rate_s
+  FROM (
+    SELECT instant, et, ub,
+           min(ts_ms) AS ft, max(ts_ms) AS lt, count(*) AS n,
+           arg_min(value, ts_ms * 1000000 + event_id) AS fv,
+           arg_max(value, ts_ms * 1000000 + event_id) AS lv
+    FROM win GROUP BY instant, et, ub
+  ) WHERE n >= 2 AND lt > ft),
+sby AS (SELECT instant, et, sum(rate_s) AS v FROM r GROUP BY instant, et)
+SELECT instant, et, round(v, 6) AS topv FROM (
+  SELECT instant, et, v,
+         row_number() OVER (PARTITION BY instant
+                            ORDER BY v DESC, et ASC) AS rn
+  FROM sby) WHERE rn <= 3""",
+)
+
 # ---------------------------------------------------------------------------
 # tier / retention family
 # ---------------------------------------------------------------------------
@@ -1830,6 +1859,10 @@ _DEFERRED = [
     "pq_label_replace",        # family: label rewrite — green r04;
                                # deferred to admit pq_absent_over_time
                                # (the other never-driver-seen variant)
+    "pq_topk2_by_et",          # family: topk/bottomk — green r01-r04; the
+                               # composed stress row pq_stress_topk_rate
+                               # (topk over sum-by over rate) exercises
+                               # the same topk machinery in-window
 ]
 
 for _n in _DEFERRED:

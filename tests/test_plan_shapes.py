@@ -157,6 +157,7 @@ PIPELINE_OPS = [
     "text_repetition",
     "shard_stats",
     "pq_quantile_over_time",
+    "pq_stress_topk_rate",
 ]
 
 

@@ -1525,6 +1525,91 @@ register(
 )
 
 
+# -- round-5 extension families ---------------------------------------------
+
+register(
+    # counter-analysis family (changes reps it; resets shares the pairwise
+    # machinery, pinned in test_extensions): count of value changes across
+    # the window's points in (ts, event_id) order
+    "pq_changes",
+    lambda spark, sf: _cells(
+        spark, sf, "changes(value[5m])", MIN_MS, ("et", "ub"), "n_changes",
+    ),
+    f"""WITH {_S_CTE}, {_grid_cte(MIN_MS, _W5)}, {_window_cte(_W5)},
+p AS (
+  SELECT instant, et, ub, value,
+         lag(value) OVER (PARTITION BY instant, et, ub
+                          ORDER BY ts_ms, event_id) AS prev
+  FROM win)
+SELECT instant, et, ub,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS n_changes
+FROM p GROUP BY instant, et, ub""",
+)
+
+register(
+    # linear-regression family (deriv reps it; predict_linear = intercept +
+    # slope·h over the same sums, pinned in test_extensions). t is seconds
+    # relative to the window-end instant on BOTH sides — offset-invariant
+    # slope, no epoch² cancellation
+    "pq_deriv",
+    lambda spark, sf: _cells(
+        spark, sf, "deriv(value[5m])", MIN_MS, ("et", "ub"), "slope_s",
+        round6=True,
+    ),
+    f"""WITH {_S_CTE}, {_grid_cte(MIN_MS, _W5)}, {_window_cte(_W5)},
+a AS (
+  SELECT instant, et, ub, count(*) AS n,
+         sum((ts_ms - instant) / 1000.0) AS st,
+         sum(((ts_ms - instant) / 1000.0) * ((ts_ms - instant) / 1000.0)) AS stt,
+         sum(value) AS sv,
+         sum(((ts_ms - instant) / 1000.0) * value) AS stv
+  FROM win GROUP BY instant, et, ub)
+SELECT instant, et, ub,
+       round((n * stv - st * sv) / (n * stt - st * st), 6) AS slope_s
+FROM a WHERE n >= 2 AND (n * stt - st * st) <> 0""",
+)
+
+register(
+    # label_join: dst = sep-joined source label values (dim-side rewrite)
+    "pq_label_join",
+    lambda spark, sf: _cells(
+        spark, sf, 'label_join(value, "eu", "-", "et", "ub")', MIN_MS,
+        ("et", "ub", "eu"), "value",
+    ),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, ub, et || '-' || ub AS eu, value FROM latest",
+)
+
+register(
+    # per-instant scalar family (scalar()/time()/pi(), ScalarSeries frame):
+    # share-of-total — each sample divided by the instant's all-series sum
+    "pq_share_of_total",
+    lambda spark, sf: _cells(
+        spark, sf, "value / scalar(sum(value))", MIN_MS, ("et", "ub"),
+        "share", round6=True,
+    ),
+    f"""WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)},
+tot AS (SELECT instant, sum(value) AS tv FROM latest GROUP BY instant)
+SELECT l.instant, l.et, l.ub, round(l.value / t.tv, 6) AS share
+FROM latest l JOIN tot t USING (instant)""",
+)
+
+register(
+    # trigonometry family, composed (sin/cos → 1:1 zip → atan → deg);
+    # libm last-ulp differences across engines are absorbed by the 6-dp
+    # rounding contract (values bounded within ±57°)
+    "pq_trig_fns",
+    lambda spark, sf: _cells(
+        spark, sf, "deg(atan(sin(value) + cos(value)))", MIN_MS,
+        ("et", "ub"), "tval", round6=True,
+    ),
+    f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
+    "SELECT instant, et, ub, "
+    "round(degrees(atan(sin(value) + cos(value))), 6) AS tval FROM latest",
+)
+
+
 register(
     # statistical over-time extension family: interpolated window quantile
     # (Prometheus linear-interpolation quantile == SQL quantile_cont);
@@ -1863,6 +1948,30 @@ _DEFERRED = [
                                # composed stress row pq_stress_topk_rate
                                # (topk over sum-by over rate) exercises
                                # the same topk machinery in-window
+    # round-5 second rotation: four redundant green siblings deferred to
+    # admit the four new extension families (pq_changes, pq_deriv,
+    # pq_label_join, pq_trig_fns)
+    "ann_lsh_topk",            # family: ANN — ann_cosine_topk (brute
+                               # baseline) and ann_ivf_topk (probed scale
+                               # path) stay; green r01-r04
+    "pq_sum_over_time_over_tier_1m",  # family: tier serving — instant
+                               # serving (pq_sum_by_et_over_tier_1m) and
+                               # window serving via rate
+                               # (pq_rate_over_tier_1m, same
+                               # over_time_from_tier explode) stay; green
+                               # r02-r04
+    "dedup_ngram_jaccard",     # family: shingle-overlap near-dup —
+                               # dedup_near_pairs (LSH→exact Jaccard over
+                               # the same shingle joins) stays; green
+                               # r01-r04
+    "text_token_counts",       # family: text analysis — text_quality
+                               # (same norm/ratio machinery), text_lang_id,
+                               # text_fingerprint, text_doc_keywords stay;
+                               # green r01-r04
+    "text_fingerprint",        # family: text analysis — quality, lang_id,
+                               # doc_keywords stay; green r01-r04; deferred
+                               # to admit pq_share_of_total (per-instant
+                               # scalar family)
 ]
 
 for _n in _DEFERRED:

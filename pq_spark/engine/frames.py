@@ -59,6 +59,20 @@ class ScalarResult:
             self.checks = []
 
 
+class ScalarSeries:
+    """Per-instant scalar (extension): the value of ``scalar(v)`` / ``time()``
+    at every grid instant — one fact row [instant: long, value: double] per
+    instant, no series dimension. Binary ops against vectors join these
+    facts by instant (the Prometheus scalar-expression semantics the
+    reference's plan-time-folded scalars can't express)."""
+
+    def __init__(self, grid: DataFrame, facts: DataFrame,
+                 checks: list[Check] | None = None):
+        self.grid = grid
+        self.facts = facts
+        self.checks = checks if checks is not None else []
+
+
 class VectorFrame:
     """Instant vector: ``grid`` lists every emitted instant (including ones
     whose vector is empty — pq emits empty vectors); ``facts``/``dim`` hold

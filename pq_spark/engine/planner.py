@@ -60,7 +60,7 @@ from ..query.ast import (
     find_smallest_range_ms,
     op_kind,
 )
-from .frames import Check, RangeFrame, ScalarResult, VectorFrame
+from .frames import Check, RangeFrame, ScalarResult, ScalarSeries, VectorFrame
 
 NAME_LABEL = "__name__"
 F64_EPSILON = 2.220446049250313e-16
@@ -69,7 +69,19 @@ F64_EPSILON = 2.220446049250313e-16
 _MATH_FNS = {
     "abs", "ceil", "floor", "round", "sqrt", "exp", "ln", "log2", "log10",
     "sgn",
+    # trigonometry (libm pass-through incl. NaN outside domains, like
+    # Prometheus); deg/rad are degrees()/radians()
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "deg", "rad",
 }
+
+# counter-analysis over-time extensions: pairwise scans over the window's
+# ordered points (resets counts decreases, changes counts value changes)
+_COUNT_OVER_TIME_FNS = {"resets", "changes"}
+
+# least-squares linear regression over the window's (t, v) points —
+# algebraic sums only, so the aggregation stays in HashAggregate
+_REGRESSION_FNS = {"deriv", "predict_linear"}
 
 # Prometheus calendar functions (extensions — see _math_fn): interpret the
 # sample VALUE as epoch seconds in UTC, e.g. hour(timestamp(v))
@@ -557,6 +569,11 @@ class Planner:
             # '-' keeps __name__ (reference: src/query/unary.rs:14-19)
             facts = inner.facts.withColumn("value", -F.col("value"))
             return VectorFrame(inner.grid, facts, inner.dim, inner.checks)
+        if isinstance(inner, ScalarSeries):
+            if node.op == "+":
+                return inner
+            facts = inner.facts.withColumn("value", -F.col("value"))
+            return ScalarSeries(inner.grid, facts, inner.checks)
         raise PqError("unary operator expects a scalar or an instant vector")
 
     # -- aggregation -------------------------------------------------------------
@@ -793,6 +810,31 @@ class Planner:
             return self._absent(node.args[0])
         if self.ctx.extensions and name == "timestamp":
             return self._timestamp(node.args[0])
+        if self.ctx.extensions and name in _COUNT_OVER_TIME_FNS:
+            arg = self.plan(node.args[0])
+            if not isinstance(arg, RangeFrame):
+                raise PqError(f"{name} expects a range vector")
+            return self._resets_changes(name, arg)
+        if self.ctx.extensions and name in _REGRESSION_FNS:
+            arg = self.plan(node.args[0])
+            if not isinstance(arg, RangeFrame):
+                raise PqError(f"{name} expects a range vector")
+            horizon = float(node.args[1]) if name == "predict_linear" else None
+            return self._linear_regression(name, arg, horizon)
+        if self.ctx.extensions and name == "label_join":
+            arg = self.plan(node.args[0])
+            if not isinstance(arg, VectorFrame):
+                raise PqError("label_join expects an instant vector")
+            return self._label_join(arg, node.args[1], node.args[2], node.args[3:])
+        if self.ctx.extensions and name == "pi":
+            return ScalarResult(math.pi)
+        if self.ctx.extensions and name == "scalar":
+            arg = self.plan(node.args[0])
+            if not isinstance(arg, VectorFrame):
+                raise PqError("scalar expects an instant vector")
+            return self._scalar_of(arg)
+        if self.ctx.extensions and name == "time":
+            return self._time()
         # reference: create_func_evaluator panics "Coming soon..."
         # (function.rs:27) for clamp*/vector/label_replace
         raise PqError(f"function {name} is not implemented")
@@ -816,6 +858,31 @@ class Planner:
             F.lit("").alias("ord"),
         )
         return VectorFrame(grid, facts, dim)
+
+    def _scalar_of(self, vf: VectorFrame) -> ScalarSeries:
+        """Extension (Prometheus ``scalar(v)``): at every grid instant, the
+        value of the argument's single series — NaN when it has zero or
+        more than one series at that instant (the Prometheus rule). One
+        tiny per-instant aggregate + a left join onto the grid."""
+        nan = F.lit(float("nan"))
+        agg = vf.facts.groupBy("instant").agg(
+            F.count("*").alias("_n"), F.min("value").alias("_v")
+        )
+        facts = vf.grid.join(agg, "instant", "left").select(
+            "instant",
+            F.when(F.col("_n") == 1, F.col("_v")).otherwise(nan).alias("value"),
+        )
+        return ScalarSeries(vf.grid, facts, vf.checks)
+
+    def _time(self) -> ScalarSeries:
+        """Extension (Prometheus ``time()``): the evaluation instant in
+        epoch seconds (ms instant / 1000, one exact double division); the
+        grid anchors on the full sample stream like ``vector(s)``."""
+        _, grid = self._grid_params(self.ctx.samples, self.ctx.lookback_ms)
+        facts = grid.select(
+            "instant", (F.col("instant") / F.lit(1000.0)).alias("value")
+        )
+        return ScalarSeries(grid, facts)
 
     def _absent(self, argnode) -> VectorFrame:
         """Extension (Prometheus ``absent(v)`` / ``absent_over_time(v[d])``):
@@ -1076,6 +1143,98 @@ class Planner:
         facts = agg.select("instant", "skey", val.alias("value"))
         return VectorFrame(rf.grid, facts, out_dim, rf.checks)
 
+    def _resets_changes(self, name: str, rf: RangeFrame) -> VectorFrame:
+        """Extension (Prometheus ``resets``/``changes``): pairwise scan of
+        the window's points in (ts, seq) order — resets counts strict
+        decreases, changes counts value changes. NaN semantics: Spark's
+        ``NaN = NaN`` is TRUE, so a NaN→NaN step is not a change — exactly
+        Prometheus's ``!(isNaN(a) && isNaN(b))`` carve-out — but Spark
+        ORDERS NaN above every value (``7 < NaN`` is true, where Go says
+        false), so resets guards both operands with isnan explicitly.
+        Plan shape: one ObjectHashAggregate (sorted collect_list, the irate
+        pattern) + a JVM zip_with/filter over consecutive pairs; a window
+        with one point emits 0."""
+        pts = rf.facts.groupBy("instant", "skey").agg(
+            F.sort_array(F.collect_list(F.struct("_okey", "value"))).alias("_pts")
+        )
+        vals = F.transform(F.col("_pts"), lambda p: p.getField("value"))
+        n = F.size(vals)
+        prev = F.slice(vals, F.lit(1), n - 1)
+        cur = F.slice(vals, F.lit(2), n - 1)
+        if name == "resets":
+            flags = F.zip_with(
+                prev, cur,
+                lambda a, b: (b < a) & ~F.isnan(a) & ~F.isnan(b),
+            )
+        else:
+            flags = F.zip_with(prev, cur, lambda a, b: b != a)
+        val = F.size(F.filter(flags, lambda x: x)).cast("double")
+        facts = pts.select("instant", "skey", val.alias("value"))
+        return VectorFrame(rf.grid, facts, self._dropname_dim(rf.dim), rf.checks)
+
+    def _linear_regression(
+        self, name: str, rf: RangeFrame, horizon_s: float | None
+    ) -> VectorFrame:
+        """Extension (Prometheus ``deriv``/``predict_linear``): simple
+        least-squares over the window's (t, v) points with t measured in
+        seconds RELATIVE TO THE WINDOW-END INSTANT — mathematically the
+        slope is offset-invariant, and the offset keeps ``n·Σt² − (Σt)²``
+        away from the catastrophic cancellation raw epoch seconds would
+        cause (1.7e9² eats all 15 significand digits); the intercept at
+        t = 0 is then the regressed value AT the instant, so
+        ``predict_linear(v[d], h) = intercept + slope·h`` directly
+        (Prometheus anchors its regression at the eval timestamp the same
+        way). Algebraic sums only — one HashAggregate, no sort. Windows
+        need ≥ 2 points with ≥ 2 distinct timestamps (a Prometheus series
+        can't repeat a timestamp; with them the variance is 0 and the
+        slope undefined — such windows emit nothing, documented
+        refinement)."""
+        t = (F.col("ts") - F.col("instant")) / F.lit(1000.0)
+        agg = rf.facts.groupBy("instant", "skey").agg(
+            F.count("value").alias("_n"),
+            F.sum(t).alias("_st"),
+            F.sum(t * t).alias("_stt"),
+            F.sum("value").alias("_sv"),
+            F.sum(t * F.col("value")).alias("_stv"),
+        ).filter(F.col("_n") >= 2)
+        den = F.col("_n") * F.col("_stt") - F.col("_st") * F.col("_st")
+        agg = agg.filter(den != 0)
+        slope = (F.col("_n") * F.col("_stv") - F.col("_st") * F.col("_sv")) / den
+        if name == "deriv":
+            val = slope
+        else:
+            intercept = (F.col("_sv") - slope * F.col("_st")) / F.col("_n")
+            val = intercept + slope * F.lit(horizon_s)
+        facts = agg.select("instant", "skey", val.alias("value"))
+        return VectorFrame(rf.grid, facts, self._dropname_dim(rf.dim), rf.checks)
+
+    def _label_join(
+        self, vf: VectorFrame, dst: str, sep: str, srcs: list[str]
+    ) -> VectorFrame:
+        """Extension (Prometheus ``label_join``): set ``dst`` to the
+        ``sep``-joined values of the source labels (missing sources join
+        as empty strings); a resulting empty value REMOVES ``dst`` (the
+        empty-label-is-absent rule label_replace also follows). Pure
+        dim-side rewrite — facts untouched."""
+        vals = [
+            F.coalesce(F.col("labels").getItem(s), F.lit("")) for s in srcs
+        ]
+        new_val = F.concat_ws(sep, *vals)
+        without_dst = F.map_filter(
+            F.col("labels"), lambda k, _: k != F.lit(dst)
+        )
+        out_labels = F.when(
+            new_val != "",
+            F.map_concat(without_dst, F.create_map(F.lit(dst), new_val)),
+        ).otherwise(without_dst)
+        dim = vf.dim.select(
+            "skey",
+            sig_expr(out_labels).alias("sig"),
+            out_labels.alias("labels"),
+            "ord",
+        )
+        return VectorFrame(vf.grid, vf.facts, dim, vf.checks)
+
     def _label_replace(
         self, vf: VectorFrame, dst: str, replacement: str, src: str, regex: str
     ) -> VectorFrame:
@@ -1181,6 +1340,22 @@ class Planner:
             "log2": lambda: logish(F.log2),
             "log10": lambda: logish(F.log10),
             "sgn": lambda: F.signum(v),
+            # trigonometry: libm pass-through (asin/acos/acosh/atanh give
+            # NaN outside their domains in both Spark and Prometheus)
+            "sin": lambda: F.sin(v),
+            "cos": lambda: F.cos(v),
+            "tan": lambda: F.tan(v),
+            "asin": lambda: F.asin(v),
+            "acos": lambda: F.acos(v),
+            "atan": lambda: F.atan(v),
+            "sinh": lambda: F.sinh(v),
+            "cosh": lambda: F.cosh(v),
+            "tanh": lambda: F.tanh(v),
+            "asinh": lambda: F.asinh(v),
+            "acosh": lambda: F.acosh(v),
+            "atanh": lambda: F.atanh(v),
+            "deg": lambda: F.degrees(v),
+            "rad": lambda: F.radians(v),
             "minute": lambda: calendar(F.minute),
             "hour": lambda: calendar(F.hour),
             # Prometheus: Sunday = 0; Spark dayofweek: Sunday = 1
@@ -1231,11 +1406,85 @@ class Planner:
                 raise PqError(f"logical operator {node.op} is not implemented")
             return self._logical(node, lhs, rhs)
 
+        # per-instant scalars (extension: scalar(v)/time()): lift a constant
+        # scalar to a ScalarSeries when paired with one, else join by instant
+        if isinstance(lhs, ScalarSeries) or isinstance(rhs, ScalarSeries):
+            if isinstance(lhs, ScalarResult):
+                lhs = self._const_series(rhs.grid, lhs)
+            if isinstance(rhs, ScalarResult):
+                rhs = self._const_series(lhs.grid, rhs)
+            if isinstance(lhs, ScalarSeries) and isinstance(rhs, ScalarSeries):
+                return self._scalar_series_pair(node, lhs, rhs)
+            if isinstance(lhs, ScalarSeries):
+                return self._scalar_series_vector(node, lhs, rhs, scalar_on_left=True)
+            return self._scalar_series_vector(node, rhs, lhs, scalar_on_left=False)
+
         if isinstance(lhs, ScalarResult):
             return self._scalar_vector(node, lhs.value, rhs, scalar_on_left=True)
         if isinstance(rhs, ScalarResult):
             return self._scalar_vector(node, rhs.value, lhs, scalar_on_left=False)
         return self._vector_vector(node, lhs, rhs)
+
+    @staticmethod
+    def _const_series(grid: DataFrame, s: ScalarResult) -> ScalarSeries:
+        facts = grid.select("instant", F.lit(s.value).alias("value"))
+        return ScalarSeries(grid, facts, s.checks)
+
+    def _scalar_series_pair(
+        self, node: BinaryOperation, lhs: ScalarSeries, rhs: ScalarSeries
+    ) -> ScalarSeries:
+        kind = op_kind(node.op)
+        if kind == "comparison" and not node.bool_modifier:
+            raise PqError("comparisons between scalars must use the bool modifier")
+        if kind == "logical":
+            raise PqError("logical operators are not supported between scalars")
+        grid = self._grid_merge(lhs.grid, rhs.grid)
+        joined = (
+            lhs.facts.withColumnRenamed("value", "_l")
+            .join(rhs.facts.withColumnRenamed("value", "_r"), "instant")
+        )
+        l, r = F.col("_l"), F.col("_r")
+        if kind == "comparison":
+            pred = _compare_pred(node.op, l, r)
+            v = F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+        else:
+            v = _binop_col(node.op, l, r)
+        return ScalarSeries(
+            grid, joined.select("instant", v.alias("value")),
+            lhs.checks + rhs.checks,
+        )
+
+    def _scalar_series_vector(
+        self, node: BinaryOperation, ss: ScalarSeries, vf: VectorFrame,
+        scalar_on_left: bool,
+    ) -> VectorFrame:
+        """Vector ⊗ per-instant scalar: the _scalar_vector semantics with
+        the scalar joined by instant (its facts are grid-sized → broadcast).
+        The output grid is the two-pointer merge, like vector⊗vector."""
+        kind = op_kind(node.op)
+        keep_name = kind == "comparison" and not node.bool_modifier
+        grid = self._grid_merge(vf.grid, ss.grid)
+        facts = vf.facts.join(
+            F.broadcast(ss.facts.withColumnRenamed("value", "_s")), "instant"
+        )
+        s, v = F.col("_s"), F.col("value")
+        l, r = (s, v) if scalar_on_left else (v, s)
+        if kind == "comparison":
+            pred = _compare_pred(node.op, l, r)
+            if node.bool_modifier:
+                facts = facts.withColumn(
+                    "value", F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+                )
+            else:
+                # filter mode keeps the VECTOR side's sample value
+                facts = facts.filter(pred)
+        else:
+            facts = facts.withColumn("value", _binop_col(node.op, l, r))
+        facts = facts.drop("_s")
+        dim = vf.dim if keep_name else self._dropname_dim_keep_ord(vf.dim)
+        return VectorFrame(
+            grid, facts, dim, vf.checks + ss.checks
+        )
 
     def _scalar_vector(
         self, node: BinaryOperation, scalar: float, vf: VectorFrame, scalar_on_left: bool

@@ -18,7 +18,7 @@ from ..query.ast import Expr, VectorSelector
 from ..timeparse import parse_duration, try_parse_time
 from . import formatter as fmt
 from . import ingest
-from .frames import RangeFrame, ScalarResult, VectorFrame
+from .frames import RangeFrame, ScalarResult, ScalarSeries, VectorFrame
 from .planner import PlanContext, Planner
 
 ENGINE_CONFS = {
@@ -213,6 +213,22 @@ class PqEngine:
             extensions=self.extensions,
         )
         result = Planner(ctx).plan(query)
+        if isinstance(result, ScalarSeries):
+            # top-level per-instant scalar (scalar(v)/time()): present as a
+            # single label-less series, like vector(s) — the output layer
+            # has no scalar-stream kind (extension refinement)
+            from pyspark.sql import functions as F
+
+            skey = F.xxhash64(F.lit(""))
+            empty_labels = F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            )
+            dim = result.grid.limit(1).select(
+                skey.alias("skey"), F.lit("").alias("sig"),
+                empty_labels.alias("labels"), F.lit("").alias("ord"),
+            )
+            facts = result.facts.select("instant", skey.alias("skey"), "value")
+            result = VectorFrame(result.grid, facts, dim, result.checks)
         # per-selector dims persisted during planning; callers that bypass
         # run_program may unpersist via this list (they are dim-sized and
         # LRU-evictable, so leaving them cached is also fine)

@@ -91,6 +91,13 @@ _FUNCTION_NAMES = [  # alternation order from expr.rs:423-436
     # _aggregate, so the 'stddev'/'quantile' aggregate-op prefixes never
     # strand the '_over_time' suffix — the count_values bug class)
     "quantile_over_time", "stddev_over_time", "stdvar_over_time",
+    # round-5 extensions: counter analysis, linear regression, label_join,
+    # trigonometry + pi. Prefix pairs (sin/sinh, …) are order-safe: the
+    # "("-follows check rejects the short tag on the longer name's input.
+    "resets", "changes", "deriv", "predict_linear", "label_join",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+    "asin", "acos", "atan", "sin", "cos", "tan", "deg", "rad", "pi",
+    "scalar", "time",
 ]
 
 _FUNC_ARG_KINDS: dict[str, list[str]] = {
@@ -135,6 +142,21 @@ _FUNC_ARG_KINDS: dict[str, list[str]] = {
     "days_in_month": ["vector"],
     "month": ["vector"],
     "year": ["vector"],
+    "resets": ["range"],
+    "changes": ["range"],
+    "deriv": ["range"],
+    "predict_linear": ["range", "number"],
+    # label_join is VARIADIC in its trailing source labels — handled as a
+    # special case in _function_call (>= 1 source required here)
+    "label_join": ["vector", "string", "string", "string"],
+    "sin": ["vector"], "cos": ["vector"], "tan": ["vector"],
+    "asin": ["vector"], "acos": ["vector"], "atan": ["vector"],
+    "sinh": ["vector"], "cosh": ["vector"], "tanh": ["vector"],
+    "asinh": ["vector"], "acosh": ["vector"], "atanh": ["vector"],
+    "deg": ["vector"], "rad": ["vector"],
+    "pi": [],
+    "scalar": ["vector"],
+    "time": [],
 }
 
 
@@ -468,6 +490,17 @@ def _function_call(cur: Cursor) -> Expr:
             cur.ws()
             if not cur.char(","):
                 cur.fail("function call", "more argument(s)")
+
+    if name == "label_join":
+        # variadic tail: any further comma-separated source-label strings
+        cur.ws()
+        while cur.char(","):
+            cur.ws()
+            m = cur.regex(_STRING_LIT)
+            if not m:
+                cur.fail("function call", "source label as string literal")
+            args.append(m.group(1))
+            cur.ws()
 
     cur.ws()
     if not cur.char(")"):

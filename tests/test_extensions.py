@@ -303,3 +303,101 @@ def test_hot_series_window_plans_shard_and_match(spark):
         finally:
             Planner.FANOUT_SWITCH = old
         assert window_out == explode_out and len(window_out) > 1_000, q
+
+
+def test_resets_changes(spark):
+    eng = PqEngine(spark, extensions=True)
+    nan = float("nan")
+    rows = [
+        (1, 1000, "c", {"__name__": "c"}, 5.0),
+        (2, 2000, "c", {"__name__": "c"}, 3.0),   # reset + change
+        (3, 3000, "c", {"__name__": "c"}, 3.0),   # neither
+        (4, 4000, "c", {"__name__": "c"}, nan),   # change (3 -> NaN)
+        (5, 5000, "c", {"__name__": "c"}, nan),   # NaN -> NaN: NOT a change
+        (6, 6000, "c", {"__name__": "c"}, 7.0),   # change (NaN -> 7); not a
+                                                  # reset (NaN < x is false)
+    ]
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    got = _cells(eng.evaluate("resets(c[6s])", sdf, since_ms=1000,
+                              interval_ms=6000))
+    assert got[0][2] == 1.0
+    got = _cells(eng.evaluate("changes(c[6s])", sdf, since_ms=1000,
+                              interval_ms=6000))
+    assert got[0][2] == 3.0
+    # single-point window emits 0
+    got = _cells(eng.evaluate("changes(c[1s])", sdf, since_ms=1000,
+                              interval_ms=1000))
+    assert got[0][2] == 0.0
+
+
+def test_deriv_predict_linear(spark):
+    eng = PqEngine(spark, extensions=True)
+    # exact line v = 2t + 1 (t in s) → slope 2 everywhere
+    rows = [(i, i * 1000, "g", {"__name__": "g"}, 2.0 * i + 1.0)
+            for i in range(1, 5)]
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    got = _cells(eng.evaluate("deriv(g[4s])", sdf, since_ms=1000,
+                              interval_ms=4000))
+    assert abs(got[0][2] - 2.0) < 1e-9
+    # prediction 3 s past the instant continues the line: value at the
+    # window-end instant t=4.999 s is 2t+1 = 10.998, +3 s slope 2 → 16.998
+    got = _cells(eng.evaluate("predict_linear(g[4s], 3)", sdf,
+                              since_ms=1000, interval_ms=4000))
+    assert abs(got[0][2] - (2.0 * 7.999 + 1.0)) < 1e-9
+    # all points in one millisecond: zero time-variance windows emit nothing
+    rows = [(1, 1000, "g", {"__name__": "g"}, 1.0),
+            (2, 1000, "g", {"__name__": "g"}, 2.0)]
+    got = _cells(eng.evaluate("deriv(g[2s])",
+                              spark.createDataFrame(rows, SCHEMA),
+                              since_ms=1000, interval_ms=2000))
+    assert got == []
+
+
+def test_label_join(spark, samples):
+    eng = PqEngine(spark, extensions=True)
+    got = _cells(eng.evaluate('label_join(m, "j", "-", "a", "missing")', samples))
+    by_a = {dict(l)["a"]: dict(l)["j"] for (_, l, _) in got}
+    # missing source labels join as empty strings
+    assert by_a == {"x1": "x1-", "y2": "y2-", "z": "z-"}
+    # joining only missing sources → empty value → dst removed
+    got = _cells(eng.evaluate('label_join(m, "a", "-", "missing")', samples))
+    assert all("a" not in dict(l) for (_, l, _) in got)
+
+
+def test_trig_and_pi(spark, samples):
+    import math
+
+    eng = PqEngine(spark, extensions=True)
+    got = _cells(eng.evaluate("cos(m * 0)", samples))
+    assert all(v == 1.0 for (_, _, v) in got)
+    # domain edges: acos(|v|>1) is NaN (libm pass-through)
+    got = _cells(eng.evaluate("acos(m)", samples))  # values 1, 3, 5
+    assert got[0][2] == 0.0 and all(math.isnan(v) for (_, _, v) in got[1:])
+    got = _cells(eng.evaluate("m * pi()", samples))
+    assert got[0][2] == math.pi
+    got = _cells(eng.evaluate("deg(rad(m))", samples))
+    assert abs(got[0][2] - 1.0) < 1e-12
+
+
+def test_scalar_and_time(spark, samples):
+    import math
+
+    eng = PqEngine(spark, extensions=True)
+    # m has 3 series → scalar(m) is NaN; n has 1 → its value
+    got = _cells(eng.evaluate("n * scalar(m)", samples))
+    assert got and all(math.isnan(v) for (_, _, v) in got)
+    got = _cells(eng.evaluate("m * scalar(n)", samples))
+    assert sorted(v for (_, _, v) in got) == [7.0, 21.0, 35.0]
+    # time() is the instant in seconds; top-level scalar series render as
+    # a label-less vector
+    got = _cells(eng.evaluate("time()", samples))
+    assert got and all(l == () and v == (t / 1000.0) for (t, l, v) in got)
+
+
+def test_round5_extensions_rejected_without_flag(spark, samples):
+    eng = PqEngine(spark, extensions=False)
+    for q in ["resets(m[2s])", "changes(m[2s])", "deriv(m[2s])",
+              "predict_linear(m[2s], 1)", 'label_join(m, "d", "-", "a")',
+              "sin(m)", "pi()", "scalar(m)", "time()"]:
+        with pytest.raises(PqError):
+            eng.evaluate(q, samples)

@@ -89,10 +89,16 @@ def _cells(spark, sf_dir, expr, interval_ms, label_cols=("et", "ub"),
     )
     cols = [F.col("instant")]
     cols += [F.col("labels").getItem(c).alias(c) for c in label_cols]
-    # float accumulations are rounded to 6 dp on BOTH sides: summation order
-    # differs between Spark partial aggs and DuckDB, so raw sums can differ
-    # in the last ulp; inputs have ≤2 decimals so 6 dp is exact-safe.
-    v = F.round(F.col("value"), 6) if round6 else F.col("value")
+    # float accumulations are rounded to 6 dp on BOTH sides: summation
+    # order differs between Spark partial aggs and DuckDB (and across
+    # Spark RUNS — task merge order), so raw values can differ in the
+    # last ulp. When the true value lands EXACTLY on a 6-dp half (ratios
+    # of 2-decimal inputs are dyadic rationals, so this genuinely
+    # happens — the sf1 canary caught 0.0546875-class flips), that ulp
+    # decides the rounding direction; the shared _EPS6 tie-break shifts
+    # both sides 1e-7 past the boundary, 100x the worst accumulation
+    # noise and 5x below the rounding granule.
+    v = F.round(F.col("value") + F.lit(_EPS6), 6) if round6 else F.col("value")
     cols += [v.alias(value_alias)]
     return vf.cells.select(*cols)
 
@@ -171,21 +177,21 @@ register(
     "pq_sum",
     lambda spark, sf: _cells(spark, sf, "sum(value)", MIN_MS, (), "sum_value", round6=True),
     f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
-    "SELECT instant, round(sum(value), 6) AS sum_value FROM latest GROUP BY instant",
+    "SELECT instant, round(sum(value) + 1e-7, 6) AS sum_value FROM latest GROUP BY instant",
 )
 
 register(
     "pq_sum_by_et",
     lambda spark, sf: _cells(spark, sf, "sum by (et) (value)", MIN_MS, ("et",), "sum_value", round6=True),
     f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
-    "SELECT instant, et, round(sum(value), 6) AS sum_value FROM latest GROUP BY instant, et",
+    "SELECT instant, et, round(sum(value) + 1e-7, 6) AS sum_value FROM latest GROUP BY instant, et",
 )
 
 register(
     "pq_avg_by_et",
     lambda spark, sf: _cells(spark, sf, "avg by (et) (value)", MIN_MS, ("et",), "avg_value", round6=True),
     f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
-    "SELECT instant, et, round(sum(value)/count(value), 6) AS avg_value "
+    "SELECT instant, et, round(sum(value)/count(value) + 1e-7, 6) AS avg_value "
     "FROM latest GROUP BY instant, et",
 )
 
@@ -221,7 +227,7 @@ register(
     lambda spark, sf: _cells(spark, sf, "sum_over_time(value[5m])", MIN_MS,
                              ("et", "ub"), "sum_win", round6=True),
     f"WITH {_S_CTE}, {_grid_cte(MIN_MS, _W5)}, {_window_cte(_W5)} "
-    "SELECT instant, et, ub, round(sum(value), 6) AS sum_win FROM win GROUP BY instant, et, ub",
+    "SELECT instant, et, ub, round(sum(value) + 1e-7, 6) AS sum_win FROM win GROUP BY instant, et, ub",
 )
 
 register(
@@ -229,7 +235,7 @@ register(
     lambda spark, sf: _cells(spark, sf, "avg_over_time(value[5m])", MIN_MS,
                              ("et", "ub"), "avg_win", round6=True),
     f"WITH {_S_CTE}, {_grid_cte(MIN_MS, _W5)}, {_window_cte(_W5)} "
-    "SELECT instant, et, ub, round(sum(value)/count(*), 6) AS avg_win "
+    "SELECT instant, et, ub, round(sum(value)/count(*) + 1e-7, 6) AS avg_win "
     "FROM win GROUP BY instant, et, ub",
 )
 
@@ -287,7 +293,7 @@ register(
     "pq_rate_1h",
     lambda spark, sf: _cells(spark, sf, "rate(value[1h])", _I10, ("et", "ub"), "rate_s", round6=True),
     f"WITH {_S_CTE}, {_grid_cte(_I10, _W1H)}, {_window_cte(_W1H)} "
-    "SELECT instant, et, ub, round((lv - fv) / ((lt - ft) / 1000.0), 6) AS rate_s FROM ("
+    "SELECT instant, et, ub, round((lv - fv) / ((lt - ft) / 1000.0) + 1e-7, 6) AS rate_s FROM ("
     "  SELECT instant, et, ub,"
     "         min(ts_ms) AS ft, max(ts_ms) AS lt, count(*) AS n,"
     "         arg_min(value, ts_ms * 1000000 + event_id) AS fv,"
@@ -317,7 +323,7 @@ r AS (
     FROM win GROUP BY instant, et, ub
   ) WHERE n >= 2 AND lt > ft),
 sby AS (SELECT instant, et, sum(rate_s) AS v FROM r GROUP BY instant, et)
-SELECT instant, et, round(v, 6) AS topv FROM (
+SELECT instant, et, round(v + 1e-7, 6) AS topv FROM (
   SELECT instant, et, v,
          row_number() OVER (PARTITION BY instant
                             ORDER BY v DESC, et ASC) AS rn
@@ -335,7 +341,7 @@ def _flatten_tier(tier: DataFrame) -> DataFrame:
         F.col("labels").getItem("et").alias("et"),
         F.col("labels").getItem("ub").alias("ub"),
         F.col("cnt"),
-        F.round(F.col("sum"), 6).alias("sum_v"),
+        F.round(F.col("sum") + F.lit(_EPS6), 6).alias("sum_v"),
         F.col("min").alias("min_v"),
         F.col("max").alias("max_v"),
         F.col("first_val").alias("first_v"),
@@ -354,7 +360,7 @@ r AS (
   FROM s
 )
 SELECT bucket_ts, et, ub,
-       count(*) AS cnt, round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,
+       count(*) AS cnt, round(sum(value) + 1e-7, 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,
        max(CASE WHEN rna = 1 THEN value END) AS first_v,
        max(CASE WHEN rnd = 1 THEN value END) AS last_v
 FROM r GROUP BY bucket_ts, et, ub"""
@@ -437,7 +443,7 @@ def _sum_over_tier(spark, sf):
     return vf.cells.select(
         "instant",
         F.col("labels").getItem("et").alias("et"),
-        F.round(F.col("value"), 6).alias("sum_value"),
+        F.round(F.col("value") + F.lit(_EPS6), 6).alias("sum_value"),
     )
 
 
@@ -454,7 +460,7 @@ t AS (
   SELECT bucket_ts, et, ub, max(CASE WHEN rnd = 1 THEN value END) AS last_v
   FROM r GROUP BY bucket_ts, et, ub
 )
-SELECT bucket_ts + {MIN_MS - 1} AS instant, et, round(sum(last_v), 6) AS sum_value
+SELECT bucket_ts + {MIN_MS - 1} AS instant, et, round(sum(last_v) + 1e-7, 6) AS sum_value
 FROM t GROUP BY bucket_ts, et"""
 
 register("pq_sum_by_et_over_tier_1m", _sum_over_tier, _SUM_OVER_TIER_SQL)
@@ -476,7 +482,7 @@ def _over_time_over_tier(spark, sf):
         F.col("labels").getItem("et").alias("et"),
         F.col("labels").getItem("ub").alias("ub"),
         F.col("cnt").cast("double").alias("points"),
-        F.round(F.col("sum"), 6).alias("sum_win"),
+        F.round(F.col("sum") + F.lit(_EPS6), 6).alias("sum_win"),
         F.col("min").alias("min_win"),
         F.col("max").alias("max_win"),
         F.col("oldest_val").alias("last_win"),  # pq last_over_time quirk
@@ -497,7 +503,7 @@ srv AS (
 )
 SELECT wend + {MIN_MS - 1} AS instant, et, ub,
        CAST(count(*) AS DOUBLE) AS points,
-       round(sum(value), 6) AS sum_win,
+       round(sum(value) + 1e-7, 6) AS sum_win,
        min(value) AS min_win,
        max(value) AS max_win,
        arg_min(value, ts_ms * 1000000 + event_id) AS last_win
@@ -528,7 +534,7 @@ def _rate_over_tier(spark, sf):
             (F.col("bucket_ts") + F.lit(MIN_MS - 1)).alias("instant"),
             F.col("labels").getItem("et").alias("et"),
             F.col("labels").getItem("ub").alias("ub"),
-            F.round(rate, 6).alias("rate_s"),
+            F.round(rate + F.lit(_EPS6), 6).alias("rate_s"),
         )
     )
 
@@ -545,7 +551,7 @@ srv AS (
   FROM s
 )
 SELECT wend + {MIN_MS - 1} AS instant, et, ub,
-       round((lv - fv) / ((lt - ft) / 1000.0), 6) AS rate_s
+       round((lv - fv) / ((lt - ft) / 1000.0) + 1e-7, 6) AS rate_s
 FROM (
   SELECT wend, et, ub,
          min(ts_ms) AS ft, max(ts_ms) AS lt, count(*) AS n,
@@ -629,6 +635,11 @@ sh AS (
               ELSE array_to_string(ws, ' ') END AS sh
   FROM ix
 )"""
+
+
+# 6-dp rounding tie-break epsilon — applied on BOTH the Spark and the
+# DuckDB side of every paired comparison rounding (see _cells)
+_EPS6 = 1e-7
 
 
 def _hash_sql(expr: str, seed: str) -> str:
@@ -1024,7 +1035,7 @@ register(
     lambda spark, sf: _cells(spark, sf, "quantile by (et) (0.5, value)", MIN_MS,
                              ("et",), "p50", round6=True),
     f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
-    "SELECT instant, et, round(quantile_cont(value, 0.5), 6) AS p50 "
+    "SELECT instant, et, round(quantile_cont(value, 0.5) + 1e-7, 6) AS p50 "
     "FROM latest GROUP BY instant, et",
 )
 
@@ -1033,7 +1044,7 @@ register(
     lambda spark, sf: _cells(spark, sf, "stddev by (et) (value)", MIN_MS,
                              ("et",), "sd", round6=True),
     f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
-    "SELECT instant, et, round(stddev_pop(value), 6) AS sd "
+    "SELECT instant, et, round(stddev_pop(value) + 1e-7, 6) AS sd "
     "FROM latest GROUP BY instant, et HAVING count(*) > 0",
 )
 
@@ -1044,7 +1055,7 @@ register(
     lambda spark, sf: _cells(spark, sf, "count by (et) (value)", MIN_MS,
                              ("et",), "cnt_quirk", round6=True),
     f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
-    "SELECT instant, et, round(fv + n - 1, 6) AS cnt_quirk FROM ("
+    "SELECT instant, et, round(fv + n - 1 + 1e-7, 6) AS cnt_quirk FROM ("
     "  SELECT instant, et, count(*) AS n,"
     "         max(CASE WHEN rn = 1 THEN value END) AS fv FROM ("
     "    SELECT instant, et, ub, value,"
@@ -1106,7 +1117,7 @@ register(
     lambda spark, sf: _cells(spark, sf, "stdvar by (et) (value)", MIN_MS,
                              ("et",), "sv", round6=True),
     f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
-    "SELECT instant, et, round(var_pop(value), 6) AS sv "
+    "SELECT instant, et, round(var_pop(value) + 1e-7, 6) AS sv "
     "FROM latest GROUP BY instant, et",
 )
 
@@ -1138,7 +1149,7 @@ register(
     lambda spark, sf: _cells(spark, sf, "increase(value[1h])", _I10,
                              ("et", "ub"), "inc", round6=True),
     f"WITH {_S_CTE}, {_grid_cte(_I10, _W1H)}, {_window_cte(_W1H)} "
-    f"SELECT instant, et, ub, round(lv - fv, 6) AS inc FROM ({_DELTA_AGG}) WHERE n >= 2",
+    f"SELECT instant, et, ub, round(lv - fv + 1e-7, 6) AS inc FROM ({_DELTA_AGG}) WHERE n >= 2",
 )
 
 register(
@@ -1146,7 +1157,7 @@ register(
     lambda spark, sf: _cells(spark, sf, "delta(value[1h])", _I10,
                              ("et", "ub"), "dlt", round6=True),
     f"WITH {_S_CTE}, {_grid_cte(_I10, _W1H)}, {_window_cte(_W1H)} "
-    f"SELECT instant, et, ub, round(lv - fv, 6) AS dlt FROM ({_DELTA_AGG}) WHERE n >= 2",
+    f"SELECT instant, et, ub, round(lv - fv + 1e-7, 6) AS dlt FROM ({_DELTA_AGG}) WHERE n >= 2",
 )
 
 _LAST2_AGG = (
@@ -1167,7 +1178,7 @@ register(
     lambda spark, sf: _cells(spark, sf, "idelta(value[1h])", _I10,
                              ("et", "ub"), "idlt", round6=True),
     f"WITH {_S_CTE}, {_grid_cte(_I10, _W1H)}, {_window_cte(_W1H)} "
-    f"SELECT instant, et, ub, round(v1 - v2, 6) AS idlt FROM ({_LAST2_AGG}) WHERE n >= 2",
+    f"SELECT instant, et, ub, round(v1 - v2 + 1e-7, 6) AS idlt FROM ({_LAST2_AGG}) WHERE n >= 2",
 )
 
 
@@ -1182,7 +1193,7 @@ register(
     "pq_irate_1h",
     _irate_q,
     f"WITH {_S_CTE}, {_grid_cte(_I10, _W1H)}, {_window_cte(_W1H)} "
-    "SELECT instant, et, ub, round((v1 - v2) / ((t1 - t2) / 1000.0), 6) AS ir "
+    "SELECT instant, et, ub, round((v1 - v2) / ((t1 - t2) / 1000.0) + 1e-7, 6) AS ir "
     f"FROM ({_LAST2_AGG}) WHERE n >= 2 AND t1 <> t2",
 )
 
@@ -1261,7 +1272,7 @@ register(
         ("et", "ub"), "vsum", round6=True,
     ),
     f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
-    "SELECT a.instant, a.et, a.ub, round(a.value + b.value, 6) AS vsum "
+    "SELECT a.instant, a.et, a.ub, round(a.value + b.value + 1e-7, 6) AS vsum "
     "FROM latest a JOIN (SELECT * FROM latest WHERE et = 'error') b "
     "USING (instant, ub)",
 )
@@ -1276,7 +1287,7 @@ register(
         ("et", "ub"), "vdiff", round6=True,
     ),
     f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
-    "SELECT b.instant, b.et, b.ub, round(a.value - b.value, 6) AS vdiff "
+    "SELECT b.instant, b.et, b.ub, round(a.value - b.value + 1e-7, 6) AS vdiff "
     "FROM latest b JOIN (SELECT * FROM latest WHERE et = 'error') a "
     "USING (instant, ub)",
 )
@@ -1566,7 +1577,7 @@ a AS (
          sum(((ts_ms - instant) / 1000.0) * value) AS stv
   FROM win GROUP BY instant, et, ub)
 SELECT instant, et, ub,
-       round((n * stv - st * sv) / (n * stt - st * st), 6) AS slope_s
+       round((n * stv - st * sv) / (n * stt - st * st) + 1e-7, 6) AS slope_s
 FROM a WHERE n >= 2 AND (n * stt - st * st) <> 0""",
 )
 
@@ -1591,7 +1602,7 @@ register(
     ),
     f"""WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)},
 tot AS (SELECT instant, sum(value) AS tv FROM latest GROUP BY instant)
-SELECT l.instant, l.et, l.ub, round(l.value / t.tv, 6) AS share
+SELECT l.instant, l.et, l.ub, round(l.value / t.tv + 1e-7, 6) AS share
 FROM latest l JOIN tot t USING (instant)""",
 )
 
@@ -1606,7 +1617,7 @@ register(
     ),
     f"WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)} "
     "SELECT instant, et, ub, "
-    "round(degrees(atan(sin(value) + cos(value))), 6) AS tval FROM latest",
+    "round(degrees(atan(sin(value) + cos(value))) + 1e-7, 6) AS tval FROM latest",
 )
 
 
@@ -1621,7 +1632,7 @@ register(
         ("et", "ub"), "p50_win", round6=True,
     ),
     f"WITH {_S_CTE}, {_grid_cte(MIN_MS, _W5)}, {_window_cte(_W5)} "
-    "SELECT instant, et, ub, round(quantile_cont(value, 0.5), 6) AS p50_win "
+    "SELECT instant, et, ub, round(quantile_cont(value, 0.5) + 1e-7, 6) AS p50_win "
     "FROM win GROUP BY instant, et, ub",
 )
 

@@ -1621,6 +1621,91 @@ register(
 )
 
 
+_HQ_LES = [5.0, 20.0, 50.0, 100.0]
+
+
+def _hist_samples(spark, sf):
+    """Classic Prometheus histogram series derived from events: per 1m
+    window-end and et, cumulative counts of events with value ≤ le for
+    le ∈ {5, 20, 50, 100, +Inf} — one 'hist' sample per (bucket, et, le)
+    with the le carried as a label."""
+    src = _event_source(spark, sf)
+    les = F.array(*[F.lit(x) for x in _HQ_LES + [float("inf")]])
+    b = src.select(
+        (F.col("ts_ms") - F.pmod(F.col("ts_ms"), F.lit(MIN_MS))
+         + F.lit(MIN_MS - 1)).alias("ts"),
+        "et", "value",
+    ).withColumn("le", F.explode(les))
+    agg = b.groupBy("ts", "et", "le").agg(
+        F.sum(
+            F.when(F.col("value") <= F.col("le"), 1).otherwise(0)
+        ).cast("double").alias("cnt")
+    )
+    le_str = F.when(
+        F.col("le") == float("inf"), F.lit("+Inf")
+    ).otherwise(F.col("le").cast("string"))
+    return agg.select(
+        F.xxhash64("et", "le").alias("seq"),
+        F.col("ts"),
+        F.lit("hist").alias("name"),
+        F.create_map(
+            F.lit("__name__"), F.lit("hist"),
+            F.lit("et"), F.col("et"),
+            F.lit("le"), le_str,
+        ).alias("labels"),
+        F.col("cnt").alias("value"),
+    )
+
+
+def _hq_query(spark, sf):
+    vf = _engine(spark).evaluate(
+        "histogram_quantile(0.9, hist)", _hist_samples(spark, sf),
+        since_ms=SINCE_MS, interval_ms=MIN_MS,
+    )
+    return vf.cells.select(
+        "instant",
+        F.col("labels").getItem("et").alias("et"),
+        F.round(F.col("value") + F.lit(_EPS6), 6).alias("q90"),
+    )
+
+
+register(
+    # histogram_quantile over classic cumulative le-buckets (the famous
+    # Prometheus function): bucket construction AND interpolation both
+    # restated by the oracle from raw events
+    "pq_histogram_quantile",
+    _hq_query,
+    f"""WITH {_S_CTE},
+mb AS (SELECT ts_ms - (ts_ms % {MIN_MS}) + {MIN_MS - 1} AS instant, et, value
+       FROM s),
+bc AS (
+  SELECT mb.instant, mb.et, l.le,
+         CAST(sum(CASE WHEN mb.value <= l.le THEN 1 ELSE 0 END) AS DOUBLE) AS cnt
+  FROM mb CROSS JOIN (
+    SELECT unnest([5.0, 20.0, 50.0, 100.0, 'infinity'::DOUBLE]) AS le) l
+  GROUP BY 1, 2, 3),
+w AS (
+  SELECT instant, et, le, cnt,
+         lag(le)  OVER (PARTITION BY instant, et ORDER BY le) AS ple,
+         lag(cnt) OVER (PARTITION BY instant, et ORDER BY le) AS pcnt,
+         max(CASE WHEN isinf(le) THEN cnt END)
+             OVER (PARTITION BY instant, et) AS total,
+         max(CASE WHEN NOT isinf(le) THEN le END)
+             OVER (PARTITION BY instant, et) AS maxfin
+  FROM bc)
+SELECT instant, et, round(q + 1e-7, 6) AS q90 FROM (
+  SELECT instant, et,
+         CASE WHEN isinf(le) THEN maxfin
+              WHEN ple IS NULL AND le <= 0 THEN le
+              ELSE coalesce(ple, 0) + (le - coalesce(ple, 0))
+                   * (0.9 * total - coalesce(pcnt, 0))
+                   / (cnt - coalesce(pcnt, 0)) END AS q
+  FROM w
+  WHERE cnt >= 0.9 * total
+    AND coalesce(pcnt < 0.9 * total, TRUE))""",
+)
+
+
 register(
     # statistical over-time extension family: interpolated window quantile
     # (Prometheus linear-interpolation quantile == SQL quantile_cont);
@@ -1878,6 +1963,33 @@ register(
 FROM documents GROUP BY 1""",
 )
 
+register(
+    # sliding-window training-sequence chunking (LM preprocessing): 64-token
+    # windows every 48 tokens; pure per-doc arithmetic explode, no shuffle
+    "text_chunks",
+    lambda spark, sf: textops.chunk_docs(
+        _docs(spark, sf), max_tokens=64, stride=48
+    ),
+    f"""WITH w AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+t AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) = 1 AND ws[1] = '' THEN 0 ELSE len(ws) END AS n
+  FROM w),
+e AS (
+  SELECT doc_id, ws, n,
+         unnest(generate_series(1, greatest(n, 1), 48)) AS start_tok
+  FROM t)
+SELECT doc_id,
+       CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least(64, n - start_tok + 1) AS BIGINT) AS n_tokens,
+       array_to_string(
+         ws[start_tok : start_tok + least(64, n - start_tok + 1) - 1],
+         ' ') AS chunk_text
+FROM e WHERE start_tok <= n""",
+)
+
 
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
@@ -1983,6 +2095,16 @@ _DEFERRED = [
                                # doc_keywords stay; green r01-r04; deferred
                                # to admit pq_share_of_total (per-instant
                                # scalar family)
+    "pq_absent",               # family: absent — pq_absent_over_time
+                               # (green r05 canaries; same anti-join
+                               # machinery + the range grid) stays; green
+                               # r04; deferred to admit text_chunks
+    "pq_max_by_et",            # family: min/max aggregation — green
+                               # r01-r04 (pq_min_by_et green r01, already
+                               # deferred); the min/max machinery stays
+                               # in-window via tier_1m's min_v/max_v
+                               # columns; deferred to admit
+                               # pq_histogram_quantile
 ]
 
 for _n in _DEFERRED:

@@ -833,6 +833,11 @@ class Planner:
             if not isinstance(arg, VectorFrame):
                 raise PqError("scalar expects an instant vector")
             return self._scalar_of(arg)
+        if self.ctx.extensions and name == "histogram_quantile":
+            arg = self.plan(node.args[1])
+            if not isinstance(arg, VectorFrame):
+                raise PqError("histogram_quantile expects an instant vector")
+            return self._histogram_quantile(float(node.args[0]), arg)
         if self.ctx.extensions and name == "time":
             return self._time()
         # reference: create_func_evaluator panics "Coming soon..."
@@ -858,6 +863,124 @@ class Planner:
             F.lit("").alias("ord"),
         )
         return VectorFrame(grid, facts, dim)
+
+    def _histogram_quantile(self, phi: float, vf: VectorFrame) -> VectorFrame:
+        """Extension (Prometheus ``histogram_quantile(φ, v)``): per
+        (instant, series-minus-le), linear interpolation of φ within the
+        classic cumulative ``le`` buckets (functions.go bucketQuantile):
+
+        - series group = labels minus ``le`` (and ``__name__``); series
+          whose ``le`` doesn't parse as a float are dropped;
+        - counts are clamped monotone non-decreasing in ``le`` order (the
+          ensureMonotonic step — float-published cumulative counts can
+          jitter downward);
+        - rank = φ·count(+Inf); the first bucket whose count ≥ rank is
+          interpolated from its lower edge; the +Inf bucket answers with
+          the highest finite ``le``; a first bucket with ``le ≤ 0``
+          answers its own ``le``;
+        - malformed histograms (no +Inf bucket, fewer than 2 buckets, or
+          zero observations) answer NaN (Prometheus rule);
+        - φ = NaN → NaN, φ < 0 → −Inf, φ > 1 → +Inf per group.
+
+        Plan shape: one broadcast dim join attaches (group key, le) to
+        facts; all bucket logic runs in per-(instant, group) window
+        functions — partitions are single-histogram sized (#buckets
+        rows), so there is no skew surface; the group dim is rebuilt from
+        the invertible sig2 on dim-sized rows (no label maps in
+        aggregation buffers)."""
+        from pyspark.sql import Window
+
+        nan = F.lit(float("nan"))
+        inf = float("inf")
+        out_labels = _labels_without(F.col("labels"), ["le"])
+        le_raw = F.col("labels").getItem("le")
+        le_val = F.when(
+            le_raw.isin("+Inf", "Inf", "inf", "+inf"), F.lit(inf)
+        ).otherwise(le_raw.try_cast("double"))
+        gmap = (
+            vf.dim.select(
+                "skey",
+                le_val.alias("_le"),
+                _sig2_expr(out_labels).alias("_gsig2"),
+            )
+            .where(F.col("_le").isNotNull())
+            .withColumn(
+                "_gsig", F.replace(F.col("_gsig2"), F.lit(_PAIR_SEP), F.lit(""))
+            )
+            .withColumn("_gkey", F.xxhash64("_gsig"))
+        )
+        gdim = (
+            gmap.select("_gsig2")
+            .distinct()
+            .select(
+                F.replace(F.col("_gsig2"), F.lit(_PAIR_SEP), F.lit("")).alias("sig"),
+                _labels_from_sig2(F.col("_gsig2")).alias("labels"),
+            )
+            .select(
+                F.xxhash64("sig").alias("skey"), "sig", "labels",
+                F.col("sig").alias("ord"),
+            )
+        )
+        joined = vf.facts.join(
+            F.broadcast(gmap.select("skey", "_gkey", "_le")), "skey"
+        ).select("instant", "_gkey", "_le", "value")
+
+        if math.isnan(phi) or phi < 0 or phi > 1:
+            const = nan if math.isnan(phi) else F.lit(-inf if phi < 0 else inf)
+            facts = (
+                joined.select("instant", "_gkey").distinct()
+                .select("instant", F.col("_gkey").alias("skey"),
+                        const.alias("value"))
+            )
+            return VectorFrame(vf.grid, facts, gdim, vf.checks)
+
+        wp = Window.partitionBy("instant", "_gkey").orderBy("_le")
+        wfull = Window.partitionBy("instant", "_gkey")
+        f = (
+            joined
+            .withColumn(
+                "_cnt",
+                F.max("value").over(
+                    wp.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .withColumn("_ple", F.lag("_le").over(wp))
+            .withColumn("_pcnt", F.lag("_cnt").over(wp))
+            .withColumn(
+                "_total",
+                F.max(F.when(F.col("_le") == inf, F.col("_cnt"))).over(wfull),
+            )
+            .withColumn("_nb", F.count("*").over(wfull))
+            .withColumn(
+                "_maxfin",
+                F.max(F.when(F.col("_le") != inf, F.col("_le"))).over(wfull),
+            )
+        )
+        rank = F.lit(phi) * F.col("_total")
+        malformed = (
+            F.col("_total").isNull() | (F.col("_nb") < 2)
+            | (F.col("_total") <= 0) | F.isnan(F.col("_total"))
+        )
+        first_ge = (F.col("_cnt") >= rank) & F.coalesce(
+            F.col("_pcnt") < rank, F.lit(True)
+        )
+        pick = F.when(malformed, F.col("_ple").isNull()).otherwise(first_ge)
+        bs = F.coalesce(F.col("_ple"), F.lit(0.0))
+        cs = F.coalesce(F.col("_pcnt"), F.lit(0.0))
+        interp = F.when(
+            F.col("_cnt") > cs,
+            bs + (F.col("_le") - bs) * (rank - cs) / (F.col("_cnt") - cs),
+        ).otherwise(nan)  # zero-width bucket (rank == cs == cnt)
+        res = (
+            F.when(malformed, nan)
+            .when(F.col("_le") == inf, F.col("_maxfin"))
+            .when(F.col("_ple").isNull() & (F.col("_le") <= 0), F.col("_le"))
+            .otherwise(interp)
+        )
+        facts = f.where(pick).select(
+            "instant", F.col("_gkey").alias("skey"), res.alias("value")
+        )
+        return VectorFrame(vf.grid, facts, gdim, vf.checks)
 
     def _scalar_of(self, vf: VectorFrame) -> ScalarSeries:
         """Extension (Prometheus ``scalar(v)``): at every grid instant, the

@@ -95,6 +95,7 @@ _FUNCTION_NAMES = [  # alternation order from expr.rs:423-436
     # trigonometry + pi. Prefix pairs (sin/sinh, …) are order-safe: the
     # "("-follows check rejects the short tag on the longer name's input.
     "resets", "changes", "deriv", "predict_linear", "label_join",
+    "histogram_quantile",
     "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
     "asin", "acos", "atan", "sin", "cos", "tan", "deg", "rad", "pi",
     "scalar", "time",
@@ -157,6 +158,7 @@ _FUNC_ARG_KINDS: dict[str, list[str]] = {
     "pi": [],
     "scalar": ["vector"],
     "time": [],
+    "histogram_quantile": ["number", "vector"],
 }
 
 

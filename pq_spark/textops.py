@@ -1150,3 +1150,48 @@ def shard_stats(
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def chunk_docs(
+    docs: DataFrame, max_tokens: int = 64, stride: int = 48,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window training-sequence chunking (the standard LM
+    preprocessing step): split each document's normalized token stream
+    into windows of ``max_tokens`` tokens starting every ``stride``
+    tokens (overlap = max_tokens − stride, the context carried across
+    chunk boundaries). Every window start ≤ n_tokens is emitted — tail
+    chunks are shorter, empty docs produce no chunks — so the output is a
+    pure function of the text (deterministic resume, and a DuckDB oracle
+    restates it exactly).
+
+    Emits (doc_id, chunk_id 0-based, start_tok 1-based, n_tokens,
+    chunk_text). Scale shape: one arithmetic explode per document —
+    fan-out ceil(n/stride), no shuffle at all; the downstream shard
+    writer groups by ``assign_shards``."""
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    w = words_col(F.col(text_col))
+    # normalized empty text still splits to [''] — treat as zero tokens
+    n = F.when(
+        (F.size(w) == 1) & (F.element_at(w, 1) == ""), F.lit(0)
+    ).otherwise(F.size(w))
+    starts = F.sequence(
+        F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride).cast("int")
+    )
+    exploded = docs.select(
+        F.col(id_col), w.alias("_w"), n.alias("_n"),
+        F.posexplode(starts).alias("chunk_id", "start_tok"),
+    ).where(F.col("start_tok") <= F.col("_n"))
+    clen = F.least(
+        F.lit(max_tokens), F.col("_n") - F.col("start_tok") + F.lit(1)
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long"),
+        F.col("start_tok").cast("long"),
+        clen.cast("long").alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("_w"), F.col("start_tok"), clen)
+        ).alias("chunk_text"),
+    )

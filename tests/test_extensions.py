@@ -398,6 +398,60 @@ def test_round5_extensions_rejected_without_flag(spark, samples):
     eng = PqEngine(spark, extensions=False)
     for q in ["resets(m[2s])", "changes(m[2s])", "deriv(m[2s])",
               "predict_linear(m[2s], 1)", 'label_join(m, "d", "-", "a")',
-              "sin(m)", "pi()", "scalar(m)", "time()"]:
+              "sin(m)", "pi()", "scalar(m)", "time()",
+              "histogram_quantile(0.5, m)"]:
         with pytest.raises(PqError):
             eng.evaluate(q, samples)
+
+
+def test_histogram_quantile(spark):
+    import math
+
+    eng = PqEngine(spark, extensions=True)
+
+    def hist(rows):
+        data = [
+            (i + 1, 1000, "h",
+             {"__name__": "h", "g": grp, "le": le}, float(cnt))
+            for i, (grp, le, cnt) in enumerate(rows)
+        ]
+        return spark.createDataFrame(data, SCHEMA)
+
+    def q(phi, sdf):
+        got = _cells(eng.evaluate(f"histogram_quantile({phi}, h)", sdf,
+                                  since_ms=1000, interval_ms=1000))
+        return {dict(l).get("g"): v for (_, l, v) in got}
+
+    sdf = hist([("a", "1", 10), ("a", "2", 30), ("a", "+Inf", 30)])
+    # rank = 0.5*30 = 15 → bucket le=2: 1 + (2-1)*(15-10)/(30-10) = 1.25
+    assert q(0.5, sdf) == {"a": 1.25}
+    # rank = 30 is reached by the finite le=2 bucket → interpolates to 2.0
+    assert q(1.0, sdf) == {"a": 2.0}
+
+    # +Inf bucket holds mass beyond the last finite edge → answer maxfin
+    sdf = hist([("a", "1", 10), ("a", "2", 30), ("a", "+Inf", 40)])
+    assert q(0.9, sdf) == {"a": 2.0}  # rank 36 > 30 → +Inf bucket → le=2
+
+    # first bucket with le <= 0 answers its own le (no interpolation to 0)
+    sdf = hist([("a", "-1", 5), ("a", "3", 9), ("a", "+Inf", 10)])
+    assert q(0.2, sdf) == {"a": -1.0}  # rank 2 ≤ 5 → first bucket, le<0
+
+    # malformed: no +Inf bucket → NaN; le must parse → series dropped
+    sdf = hist([("a", "1", 10), ("a", "2", 30)])
+    assert all(math.isnan(v) for v in q(0.5, sdf).values())
+    sdf = hist([("a", "1", 10), ("a", "oops", 20), ("a", "+Inf", 20)])
+    # the unparseable-le series is dropped; the rest still answers
+    assert q(0.5, sdf) == {"a": 1.0}
+
+    # φ out of range / NaN, per group
+    sdf = hist([("a", "1", 10), ("a", "+Inf", 12),
+                ("b", "1", 4), ("b", "+Inf", 4)])
+    assert q(1.5, sdf) == {"a": float("inf"), "b": float("inf")}
+    assert q(-0.5, sdf) == {"a": float("-inf"), "b": float("-inf")}
+    assert all(math.isnan(v) for v in q("NaN", sdf).values())
+
+    # monotonicity clamp: a float-jittered decreasing cumulative count
+    # must not break the search (ensureMonotonic)
+    sdf = hist([("a", "1", 10), ("a", "2", 9.999), ("a", "+Inf", 12)])
+    got = q(0.5, sdf)["a"]  # rank 6 → first bucket: interp 0 + 1*6/10
+    assert abs(got - 0.6) < 1e-12

@@ -158,6 +158,8 @@ PIPELINE_OPS = [
     "shard_stats",
     "pq_quantile_over_time",
     "pq_stress_topk_rate",
+    "text_chunks",
+    "pq_histogram_quantile",
 ]
 
 

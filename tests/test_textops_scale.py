@@ -226,3 +226,25 @@ def test_dedup_components_chain_and_clusters(spark):
         assert got[i] == (20, i == 20)
     for i in (10, 15, 29):
         assert got[i] == (i, True)
+
+
+def test_chunk_docs_semantics(spark):
+    from pq_spark.textops import chunk_docs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),   # 10 tokens
+         (2, "x y"),                   # shorter than one window
+         (3, "")],                     # empty → no chunks
+        "doc_id long, text string",
+    )
+    out = chunk_docs(docs, max_tokens=4, stride=3).collect()
+    rows = {(r["doc_id"], r["chunk_id"]):
+            (r["start_tok"], r["n_tokens"], r["chunk_text"]) for r in out}
+    # starts 1, 4, 7, 10 — the tail chunk is short, every start ≤ n emits
+    assert rows[(1, 0)] == (1, 4, "a b c d")
+    assert rows[(1, 1)] == (4, 4, "d e f g")
+    assert rows[(1, 2)] == (7, 4, "g h i j")
+    assert rows[(1, 3)] == (10, 1, "j")
+    assert rows[(2, 0)] == (1, 2, "x y")
+    assert not any(d == 3 for (d, _c) in rows)
+    assert len(rows) == 5

@@ -1706,6 +1706,56 @@ SELECT instant, et, round(q + 1e-7, 6) AS q90 FROM (
 )
 
 
+def _holt_query(spark, sf):
+    vf = _engine(spark).evaluate(
+        "double_exponential_smoothing(value[5m], 0.4, 0.3)",
+        event_samples(spark, sf), since_ms=SINCE_MS, interval_ms=_I10,
+    )
+    return vf.cells.select(
+        "instant",
+        F.col("labels").getItem("et").alias("et"),
+        F.col("labels").getItem("ub").alias("ub"),
+        # 3-dp contract for the ITERATIVE family (not the usual 6): the
+        # DuckDB oracle restates the fold step-for-step, but C++ FP
+        # contraction (FMA) can differ from JVM strict FP by an ulp per
+        # step; the smoothing recurrence is contractive, so the
+        # cross-engine divergence stays ~1e-11 — five orders below the
+        # 5e-4 granule here, where at 6 dp the sf1 canary caught ~10
+        # boundary crossings across 1.45M rows
+        F.round(F.col("value") + F.lit(_EPS6), 3).alias("hw"),
+    )
+
+
+register(
+    # double_exponential_smoothing (holt_winters): the one ITERATIVE
+    # over-time function — the fold is sequential by definition, but over
+    # the same (ts, event_id)-sorted point list both engines replay it
+    # step-for-step via DuckDB list_reduce (list-typed accumulator:
+    # DuckDB 1.0's struct_pack accumulator mutates fields in place, later
+    # fields would see updated values). 10-minute grid, 3-dp contract —
+    # see _holt_query
+    "pq_holt_winters",
+    _holt_query,
+    f"""WITH {_S_CTE}, {_grid_cte(_I10, _W5)}, {_window_cte(_W5)},
+arr AS (
+  SELECT instant, et, ub,
+         list_transform(
+           list_sort(list(struct_pack(k := ts_ms * 1000000 + event_id,
+                                      v := value))),
+           p -> p.v) AS vs
+  FROM win GROUP BY instant, et, ub)
+SELECT instant, et, ub,
+       round(list_reduce(
+         list_concat([[vs[1], vs[2] - vs[1]]],
+                     list_transform(vs[2:], x -> [x, 0.0e0])),
+         (a, x) -> [0.4e0 * x[1] + (1 - 0.4e0) * (a[1] + a[2]),
+                    0.3e0 * ((0.4e0 * x[1] + (1 - 0.4e0) * (a[1] + a[2]))
+                             - a[1]) + (1 - 0.3e0) * a[2]])[1] + 1e-7,
+             3) AS hw
+FROM arr WHERE len(vs) >= 2""",
+)
+
+
 register(
     # statistical over-time extension family: interpolated window quantile
     # (Prometheus linear-interpolation quantile == SQL quantile_cont);
@@ -2105,6 +2155,12 @@ _DEFERRED = [
                                # in-window via tier_1m's min_v/max_v
                                # columns; deferred to admit
                                # pq_histogram_quantile
+    "pq_quantile_over_time",   # family: stat-over-time — green r04-r05
+                               # canaries; the percentile aggregation
+                               # stays in-window via pq_quantile_by_et
+                               # and the windowed-point machinery via
+                               # pq_changes/pq_deriv/pq_holt_winters;
+                               # deferred to admit pq_holt_winters
 ]
 
 for _n in _DEFERRED:

@@ -838,6 +838,18 @@ class Planner:
             if not isinstance(arg, VectorFrame):
                 raise PqError("histogram_quantile expects an instant vector")
             return self._histogram_quantile(float(node.args[0]), arg)
+        if self.ctx.extensions and name in (
+            "double_exponential_smoothing", "holt_winters"
+        ):
+            arg = self.plan(node.args[0])
+            if not isinstance(arg, RangeFrame):
+                raise PqError(f"{name} expects a range vector")
+            sf_, tf_ = float(node.args[1]), float(node.args[2])
+            if not (0 < sf_ < 1) or not (0 < tf_ < 1):
+                raise PqError(
+                    f"{name} smoothing factors must be in (0, 1)"
+                )
+            return self._holt_winters(arg, sf_, tf_)
         if self.ctx.extensions and name == "time":
             return self._time()
         # reference: create_func_evaluator panics "Coming soon..."
@@ -1293,6 +1305,50 @@ class Planner:
             flags = F.zip_with(prev, cur, lambda a, b: b != a)
         val = F.size(F.filter(flags, lambda x: x)).cast("double")
         facts = pts.select("instant", "skey", val.alias("value"))
+        return VectorFrame(rf.grid, facts, self._dropname_dim(rf.dim), rf.checks)
+
+    def _holt_winters(self, rf: RangeFrame, sf_: float, tf_: float) -> VectorFrame:
+        """Extension (Prometheus ``double_exponential_smoothing`` /
+        ``holt_winters``): Holt's linear smoothing over the window's
+        points in (ts, seq) order — s₀ = v₀, b₀ = v₁ − v₀, then
+        sᵢ = sf·vᵢ + (1−sf)(sᵢ₋₁ + bᵢ₋₁),
+        bᵢ = tf·(sᵢ − sᵢ₋₁) + (1−tf)·bᵢ₋₁; answer sₙ₋₁; windows with
+        fewer than 2 points emit nothing (functions.go).
+
+        The fold is SEQUENTIAL by definition — but over the same sorted
+        point list in both engines it is bit-deterministic (every step is
+        the same correctly-rounded double ops in the same order), so a
+        DuckDB list_reduce oracle reproduces it exactly: this is the
+        one iterative over-time function that still gets a value-hash
+        oracle. Plan shape: the irate pattern (one ObjectHashAggregate
+        sorted collect_list) + a JVM F.aggregate fold."""
+        one_sf = 1.0 - sf_
+        one_tf = 1.0 - tf_
+        pts = rf.facts.groupBy("instant", "skey").agg(
+            F.sort_array(F.collect_list(F.struct("_okey", "value"))).alias("_p")
+        )
+        vals = F.transform(F.col("_p"), lambda p: p.getField("value"))
+        pts = pts.withColumn("_vs", vals).filter(F.size("_vs") >= 2)
+        v0 = F.element_at("_vs", 1)
+        v1 = F.element_at("_vs", 2)
+        init = F.struct(
+            v0.cast("double").alias("s"), (v1 - v0).cast("double").alias("b")
+        )
+
+        def step(acc, x):
+            s_new = F.lit(sf_) * x + F.lit(one_sf) * (
+                acc.getField("s") + acc.getField("b")
+            )
+            b_new = F.lit(tf_) * (s_new - acc.getField("s")) + F.lit(
+                one_tf
+            ) * acc.getField("b")
+            return F.struct(s_new.alias("s"), b_new.alias("b"))
+
+        rest = F.slice(F.col("_vs"), F.lit(2), F.size("_vs") - 1)
+        state = F.aggregate(rest, init, step)
+        facts = pts.select(
+            "instant", "skey", state.getField("s").alias("value")
+        )
         return VectorFrame(rf.grid, facts, self._dropname_dim(rf.dim), rf.checks)
 
     def _linear_regression(

@@ -95,7 +95,7 @@ _FUNCTION_NAMES = [  # alternation order from expr.rs:423-436
     # trigonometry + pi. Prefix pairs (sin/sinh, …) are order-safe: the
     # "("-follows check rejects the short tag on the longer name's input.
     "resets", "changes", "deriv", "predict_linear", "label_join",
-    "histogram_quantile",
+    "histogram_quantile", "double_exponential_smoothing", "holt_winters",
     "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
     "asin", "acos", "atan", "sin", "cos", "tan", "deg", "rad", "pi",
     "scalar", "time",
@@ -159,6 +159,8 @@ _FUNC_ARG_KINDS: dict[str, list[str]] = {
     "scalar": ["vector"],
     "time": [],
     "histogram_quantile": ["number", "vector"],
+    "double_exponential_smoothing": ["range", "number", "number"],
+    "holt_winters": ["range", "number", "number"],
 }
 
 

@@ -455,3 +455,34 @@ def test_histogram_quantile(spark):
     sdf = hist([("a", "1", 10), ("a", "2", 9.999), ("a", "+Inf", 12)])
     got = q(0.5, sdf)["a"]  # rank 6 → first bucket: interp 0 + 1*6/10
     assert abs(got - 0.6) < 1e-12
+
+
+def test_double_exponential_smoothing(spark):
+    eng = PqEngine(spark, extensions=True)
+    vals = [5.0, 3.0, 8.0, 6.0]
+    rows = [(i + 1, (i + 1) * 1000, "m", {"__name__": "m"}, v)
+            for i, v in enumerate(vals)]
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    got = _cells(eng.evaluate(
+        "double_exponential_smoothing(m[4s], 0.4, 0.3)", sdf,
+        since_ms=1000, interval_ms=4000))
+    # reference fold (functions.go): s0=v0, b0=v1-v0, then Holt updates
+    s, b = vals[0], vals[1] - vals[0]
+    for v in vals[1:]:
+        s_new = 0.4 * v + 0.6 * (s + b)
+        b = 0.3 * (s_new - s) + 0.7 * b
+        s = s_new
+    assert got[0][2] == s  # bit-exact, not approximate
+    # alias parses to the same plan
+    got2 = _cells(eng.evaluate("holt_winters(m[4s], 0.4, 0.3)", sdf,
+                               since_ms=1000, interval_ms=4000))
+    assert got2 == got
+    # single-point windows emit nothing
+    one = spark.createDataFrame(rows[:1], SCHEMA)
+    assert _cells(eng.evaluate(
+        "double_exponential_smoothing(m[1s], 0.4, 0.3)", one,
+        since_ms=1000, interval_ms=1000)) == []
+    # smoothing factors outside (0,1) are plan-time errors
+    for q in ["holt_winters(m[2s], 0, 0.3)", "holt_winters(m[2s], 0.4, 1)"]:
+        with pytest.raises(PqError):
+            eng.evaluate(q, sdf)

@@ -130,10 +130,16 @@ def decode_png(data: bytes, max_pixels: int = MAX_DECODE_PIXELS) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("truncated PNG (missing IHDR/IDAT)")
 
-    raw = zlib.decompress(bytes(idat))
     rowbytes = w * bpp
     stride = rowbytes + 1
-    if len(raw) != h * stride:
+    # Bounded inflate: IHDR precedes IDAT per spec, so the expected payload
+    # size is known before decompression.  A stream claiming tiny dimensions
+    # but inflating to gigabytes stops at expected+1 bytes instead of being
+    # fully materialized (the IHDR max_pixels check alone can't bound this).
+    expected = h * stride
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or dobj.unconsumed_tail:
         raise ValueError("PNG payload size mismatch")
     out = np.zeros((h, rowbytes), dtype=np.uint8)
     prev = np.zeros(rowbytes, dtype=np.uint8)

@@ -1639,7 +1639,17 @@ class Planner:
     ) -> VectorFrame:
         """Vector ⊗ per-instant scalar: the _scalar_vector semantics with
         the scalar joined by instant (its facts are grid-sized → broadcast).
-        The output grid is the two-pointer merge, like vector⊗vector."""
+        The output grid is the two-pointer merge, like vector⊗vector.
+
+        Misaligned-grid convention (deliberate, mirrors _vector_vector):
+        the inner join on instant means vector samples at instants absent
+        from the scalar's grid evaluate to empty vectors — per-selector
+        anchors produce per-selector grids in this engine (planner grid
+        anchoring, golden arithmetic_015), NOT Prometheus's single shared
+        evaluation grid, so ``v ⊗ scalar(w)`` over differently-anchored
+        selectors drops the non-shared instants exactly as ``v ⊗ w`` does.
+        Same-expression grids (the only case the reference's scenarios
+        exercise) are always aligned, where the join is lossless."""
         kind = op_kind(node.op)
         keep_name = kind == "comparison" and not node.bool_modifier
         grid = self._grid_merge(vf.grid, ss.grid)

@@ -118,6 +118,25 @@ class TierStore:
                 continue
             if m.get("data_path"):
                 parts[m["partition"]] = m["data_path"]
+            elif m.get("partition") is not None:
+                # legacy manifest (pre-snapshot-isolation store): data lives
+                # at the table root as <table>/date=<part>.  Backfill the
+                # root-relative path durably so the first snapshot published
+                # over an upgraded store carries EVERY live partition, not
+                # just the ones rewritten since the upgrade; a legacy
+                # manifest whose data dir is gone is store corruption —
+                # surface it rather than publish a silently-shrunk snapshot.
+                legacy_rel = f"date={m['partition']}"
+                root = os.path.join(self.base_path, table)
+                if not os.path.isdir(os.path.join(root, legacy_rel)):
+                    raise FileNotFoundError(
+                        f"manifest {fn} of table {table!r} has no data_path "
+                        f"and no legacy data dir {legacy_rel!r} — refusing "
+                        "to publish a snapshot missing a live partition"
+                    )
+                m["data_path"] = legacy_rel
+                self._write_manifest(table, str(m["partition"]), m)
+                parts[m["partition"]] = legacy_rel
         return parts
 
     def current_snapshot_id(self, table: str) -> int | None:
@@ -141,6 +160,11 @@ class TierStore:
         commits converge (see module docstring)."""
         d = self._snapshots_dir(table)
         os.makedirs(d, exist_ok=True)
+        # distinguishes a converged publish (CURRENT verified == manifest
+        # scan) from a gave-up-under-contention one; commit() surfaces it as
+        # metrics['snapshot_converged'] so callers never mistake a racing
+        # writer's id for their own certified state
+        self.last_publish_converged = False
         last_id = self.current_snapshot_id(table) or 0
         for _ in range(attempts):
             parts = self._scan_manifest_parts(table)
@@ -148,6 +172,7 @@ class TierStore:
             if cur_id is not None:
                 cur = self.read_snapshot(table, cur_id)
                 if cur is not None and cur.get("parts") == parts:
+                    self.last_publish_converged = True
                     return cur_id
                 last_id = cur_id
             nid = last_id + 1
@@ -286,6 +311,9 @@ class TierStore:
             },
         )
         result.metrics["snapshot_id"] = self._publish_snapshot(table)
+        result.metrics["snapshot_converged"] = bool(
+            getattr(self, "last_publish_converged", True)
+        )
         return result
 
     def read(self, spark, table: str, snapshot_id: int | None = None) -> DataFrame:

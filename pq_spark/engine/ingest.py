@@ -419,6 +419,97 @@ def samples_from_records(records: DataFrame) -> DataFrame:
     )
 
 
+def static_sig_expr(entries: dict[str, "Column"]) -> "Column":
+    """``sig_expr`` specialized for a label set whose KEYS are known at
+    plan time (table ingest: label_cols + __name__): the sorted
+    key\\xffvalue concatenation becomes a plain string concat — no map
+    build, no array_sort, no lambda transform per row.  Null-value pairs
+    contribute nothing, matching ``array_join``'s null-element skip.
+    Key order: Python's codepoint sort == Spark's binary string sort
+    (UTF-8 byte order preserves codepoint order).  Equivalence is pinned
+    in tests/test_rollup.py against ``sig_expr`` on the same rows."""
+    pieces = [
+        F.when(entries[k].isNull(), F.lit("")).otherwise(
+            F.concat(F.lit(k + "\xff"), entries[k])
+        )
+        for k in sorted(entries)
+    ]
+    return F.concat(*pieces) if pieces else F.lit("")
+
+
+def _table_base(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: list[str],
+    label_cols: list[str],
+    seq_col: str | None,
+    ts_unit: str,
+) -> DataFrame:
+    """Shared typed projection for table ingest: (seq, ts, labels…, values…)
+    with nulls-after-cast semantics identical between ``samples_from_table``
+    and ``series_dim_for_table`` (the dim fast path must see exactly the
+    rows the union branches would keep)."""
+    ts = F.unix_millis(F.col(ts_col)) if ts_unit == "timestamp" else F.col(ts_col).cast("long")
+    seq = F.col(seq_col).cast("long") if seq_col else F.monotonically_increasing_id()
+    return df.select(
+        seq.alias("seq"),
+        ts.alias("ts"),
+        *[F.col(c).cast("string").alias(c) for c in label_cols],
+        *[F.col(c).cast("double").alias(c) for c in value_cols],
+    ).filter(F.col("ts").isNotNull())
+
+
+def series_dim_for_table(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: list[str],
+    label_cols: list[str],
+    seq_col: str | None = None,
+    ts_unit: str = "timestamp",
+    with_line_metric: bool = True,
+) -> DataFrame:
+    """Series label space of ``samples_from_table(df, …)`` WITHOUT scanning
+    the (rows × metrics) sample union: one narrow aggregate over the base
+    rows collapses to the distinct label combos (map-side combine makes the
+    shuffle dim-sized), then the per-metric dim rows are built on the tiny
+    result. Equivalence contract: a (labels, metric) series exists iff ≥1
+    base row has that label combo and a non-null value for the metric (the
+    union branch's ``value.isNotNull()`` filter); ``__line__``'s value is
+    ``seq``, so its presence flag is ``seq IS NOT NULL``.
+
+    Returns (name, labels) rows — the same shape ``series_dim`` derives
+    from wide samples (the caller attaches sig/skey).
+    """
+    base = _table_base(df, ts_col, value_cols, label_cols, seq_col, ts_unit)
+    flag_cols = list(value_cols) + (["seq"] if with_line_metric else [])
+    combos = base.groupBy(*label_cols).agg(
+        *[F.max(F.col(c).isNotNull()).alias(f"_has_{c}") for c in flag_cols]
+    )
+    metrics = [(m, f"_has_{m}") for m in value_cols]
+    if with_line_metric:
+        metrics.append((LINE_METRIC, "_has_seq"))
+
+    label_map_of = lambda name: F.map_concat(  # noqa: E731
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in label_cols]),
+            F.array(*[F.col(c) for c in label_cols]),
+        )
+        if label_cols
+        else _empty_map("string"),
+        F.create_map(F.lit(NAME_LABEL), F.lit(name)),
+    )
+    parts = [
+        combos.filter(F.col(flag)).select(
+            F.lit(m).alias("name"), label_map_of(m).alias("labels")
+        )
+        for m, flag in metrics
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def samples_from_table(
     df: DataFrame,
     ts_col: str,
@@ -437,15 +528,7 @@ def samples_from_table(
 
     ts_unit: 'timestamp' (native timestamp col) | 'ms' (already epoch ms).
     """
-    ts = F.unix_millis(F.col(ts_col)) if ts_unit == "timestamp" else F.col(ts_col).cast("long")
-    seq = F.col(seq_col).cast("long") if seq_col else F.monotonically_increasing_id()
-
-    base = df.select(
-        seq.alias("seq"),
-        ts.alias("ts"),
-        *[F.col(c).cast("string").alias(c) for c in label_cols],
-        *[F.col(c).cast("double").alias(c) for c in value_cols],
-    ).filter(F.col("ts").isNotNull())
+    base = _table_base(df, ts_col, value_cols, label_cols, seq_col, ts_unit)
 
     # unpivot as a UNION ALL of literal-named branches instead of stack():
     # a metric-name selector (filter name = '<m>') constant-folds each
@@ -486,4 +569,11 @@ def samples_from_table(
     return unpivoted.select(
         "seq", "ts", "name", label_map.alias("labels"), "value",
         *[F.col(c).alias(f"_lbl_{c}") for c in label_cols],
+        # precomputed series signature: keys are static here, so the sig is
+        # a plain concat — consumers that key rows by series (the rollup
+        # pipeline's fact projection) use it instead of re-deriving
+        # sig_expr(labels) per row (map build + sort + transform)
+        static_sig_expr(
+            {NAME_LABEL: F.col("name"), **{c: F.col(c) for c in label_cols}}
+        ).alias("_sig"),
     )

@@ -118,13 +118,8 @@ def extract_text_udf():
     return _extract
 
 
-def page_samples(pages: DataFrame) -> DataFrame:
-    """Page table → extraction-event samples.
-
-    labels = {lang, domain(url)}; values = {text_len, content_len}; plus the
-    synthetic ``__line__`` doc-count metric; ts = warc_ts in ms.
-    """
-    enriched = pages.select(
+def _page_enriched(pages: DataFrame) -> DataFrame:
+    return pages.select(
         F.unix_millis("warc_ts").alias("_ts"),
         F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("domain"),
         "lang",
@@ -132,12 +127,34 @@ def page_samples(pages: DataFrame) -> DataFrame:
         F.length("html").cast("double").alias("content_len"),
     ).withColumn("_ts2", F.col("_ts"))
 
-    return samples_from_table(
-        enriched,
-        ts_col="_ts",
-        value_cols=["text_len", "content_len"],
-        label_cols=["lang", "domain"],
-        ts_unit="ms",
+
+_PAGE_TABLE_ARGS = dict(
+    ts_col="_ts",
+    value_cols=["text_len", "content_len"],
+    label_cols=["lang", "domain"],
+    ts_unit="ms",
+)
+
+
+def page_samples(pages: DataFrame) -> DataFrame:
+    """Page table → extraction-event samples.
+
+    labels = {lang, domain(url)}; values = {text_len, content_len}; plus the
+    synthetic ``__line__`` doc-count metric; ts = warc_ts in ms.
+    """
+    return samples_from_table(_page_enriched(pages), **_PAGE_TABLE_ARGS)
+
+
+def page_series_dim(pages: DataFrame) -> DataFrame:
+    """Series dim of ``page_samples(pages)`` via the label-space fast path
+    (one narrow aggregate over page rows; equals
+    ``series_dim(page_samples(pages))`` by the ``series_dim_for_table``
+    contract — pinned in tests/test_rollup.py)."""
+    from ..engine.ingest import series_dim_for_table
+    from .tiers import series_dim_from_labelspace
+
+    return series_dim_from_labelspace(
+        series_dim_for_table(_page_enriched(pages), **_PAGE_TABLE_ARGS)
     )
 
 

@@ -59,14 +59,23 @@ def run_pipeline(
     if cache_pages:
         pages = pages.persist()
 
+    verify_future = None
     if check_extraction:
-        t0 = time.time()
-        mismatches = verify_extraction(pages)
-        if mismatches:
-            raise RuntimeError(
-                f"extraction invariant violated for {mismatches} pages"
-            )
-        metrics["stages"]["verify_extraction"] = {"elapsed_s": time.time() - t0}
+        # run the per-row invariant check CONCURRENTLY with the 1m rollup
+        # (Spark schedules jobs from multiple threads; the check is
+        # UDF-bound, the rollup shuffle-bound, so they overlap instead of
+        # serializing two scans). The future is joined — and a violation
+        # raised — before the 1h tier commits, so no tier beyond 1m is ever
+        # built on bad data and the job can never report success.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _timed_verify():
+            t0 = time.time()
+            return verify_extraction(pages), time.time() - t0
+
+        _verify_pool = ThreadPoolExecutor(max_workers=1)
+        verify_future = _verify_pool.submit(_timed_verify)
+        _verify_pool.shutdown(wait=False)
 
     # star schema: the NARROW fact (sig, ts, seq, value) feeds both the tier
     # cascade and the Gorilla packer — label maps live in the tiny series
@@ -78,10 +87,23 @@ def run_pipeline(
     from .tiers import series_dim, series_key  # noqa: F401
 
     samples_wide = page_samples(pages)
+    # `_sig` is the statically-concatenated signature samples_from_table
+    # precomputes (same string sig_expr derives from the map, minus the
+    # per-row map build/sort) — fall back for sample sources without it
+    skey_col = (
+        series_key(_F.col("_sig"))
+        if "_sig" in samples_wide.columns
+        else series_key(sig_expr(_F.col("labels")))
+    )
     samples = samples_wide.select(
-        series_key(sig_expr(_F.col("labels"))).alias("skey"), "ts", "seq", "value"
+        skey_col.alias("skey"), "ts", "seq", "value"
     ).persist()
-    dim = series_dim(samples_wide).persist()
+    # label-space fast path: one narrow aggregate over page rows instead of
+    # a signature-distinct over the 3x-wider sample union (round-5 verdict
+    # item 5 — the dim build was ~23% of the tier_1m stage)
+    from .pages import page_series_dim
+
+    dim = page_series_dim(pages).persist()
 
     # tier cascade with resume: the cascade itself stays NARROW (skey-keyed
     # partials, persisted); labels attach only at each commit edge. Each
@@ -91,6 +113,16 @@ def run_pipeline(
     p1m = tier_partials(samples, "1m", salt_buckets=salt_buckets, dim=dim).persist()
     r1 = store.commit(with_date(attach_series(p1m, dim)), "tier_1m")
     metrics["stages"]["tier_1m"] = r1.metrics
+
+    if verify_future is not None:
+        mismatches, verify_s = verify_future.result()
+        if mismatches:
+            raise RuntimeError(
+                f"extraction invariant violated for {mismatches} pages"
+            )
+        metrics["stages"]["verify_extraction"] = {
+            "elapsed_s": verify_s, "overlapped": True
+        }
 
     p1h = tier_from_tier(p1m, "1h").persist()
     r2 = store.commit(with_date(attach_series(p1h, dim)), "tier_1h")

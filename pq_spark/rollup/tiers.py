@@ -76,6 +76,20 @@ def series_dim(samples: DataFrame, check_collisions: bool = False) -> DataFrame:
     return dim
 
 
+def series_dim_from_labelspace(name_labels: DataFrame) -> DataFrame:
+    """(name, labels) rows — e.g. from ``ingest.series_dim_for_table`` —
+    → the dim shape ``series_dim`` produces (skey, sig, name, labels).
+    The fast path for table-backed corpora: the label space comes from one
+    narrow aggregate over base rows instead of a signature-distinct over
+    the (rows × metrics) sample union."""
+    return name_labels.select(
+        series_key(sig_expr(F.col("labels"))).alias("skey"),
+        sig_expr(F.col("labels")).alias("sig"),
+        "name",
+        "labels",
+    )
+
+
 def attach_series(partials: DataFrame, dim: DataFrame) -> DataFrame:
     """Narrow partials (skey-keyed) + series dim → the public tier schema."""
     return partials.join(dim, "skey").select(

@@ -559,3 +559,65 @@ def test_warc_recrawl_duplicates(spark, tmp_path, pages):
     got = pages_from_warc(spark, str(tmp_path / "rc") + "/*.warc.gz")
     assert got.count() == 20
     assert got.groupBy("url").count().filter(F.col("count") != 2).count() == 0
+
+
+def test_page_series_dim_fast_path_equals_generic(spark, pages):
+    """The label-space dim (one narrow aggregate over page rows) must equal
+    series_dim over the full sample union — including the value-null rule:
+    a metric's series exists iff >=1 row has a non-null value for it."""
+    from pq_spark.rollup.pages import page_samples, page_series_dim
+    from pq_spark.rollup.tiers import series_dim
+
+    def key(rows):
+        return sorted(
+            (r["skey"], r["sig"], r["name"], tuple(sorted(r["labels"].items())))
+            for r in rows
+        )
+
+    fast = key(page_series_dim(pages).collect())
+    generic = key(series_dim(page_samples(pages)).collect())
+    assert fast == generic and len(fast) > 0
+
+    # null-metric rule: a combo whose text is NULL on every row must have
+    # content_len and __line__ series but NO text_len series
+    nulled = pages.withColumn(
+        "text",
+        F.when(F.col("lang") == "de", F.lit(None).cast("string"))
+        .otherwise(F.col("text")),
+    )
+    fast = key(page_series_dim(nulled).collect())
+    generic = key(series_dim(page_samples(nulled)).collect())
+    assert fast == generic
+    de_names = {name for (_, _, name, labels) in fast
+                if ("lang", "de") in labels}
+    assert "text_len" not in de_names and "content_len" in de_names
+
+
+def test_static_sig_expr_equals_sig_expr(spark):
+    """static_sig_expr (plain concat over known keys) must byte-equal
+    sig_expr (map build + sort + transform) — including the null-value
+    pair skip and key ordering."""
+    from pq_spark.engine.ingest import static_sig_expr
+    from pq_spark.engine.planner import sig_expr
+
+    rows = [
+        ("m", "en", "a.com"),
+        ("__line__", None, "b.com"),
+        ("n", "de", None),
+        ("m", None, None),
+    ]
+    df = spark.createDataFrame(rows, "name string, lang string, domain string")
+    got = df.select(
+        static_sig_expr(
+            {"__name__": F.col("name"), "lang": F.col("lang"),
+             "domain": F.col("domain")}
+        ).alias("a"),
+        sig_expr(
+            F.create_map(
+                F.lit("__name__"), F.col("name"),
+                F.lit("lang"), F.col("lang"),
+                F.lit("domain"), F.col("domain"),
+            )
+        ).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in got), got

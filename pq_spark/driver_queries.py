@@ -2159,6 +2159,149 @@ def _streamed_serve_query(spark, sf):
 register("pq_sum_by_et_streamed", _streamed_serve_query, _SUM_OVER_TIER_SQL)
 
 
+# -- PromQL subquery (extension: expr[range:step], no such production in the
+#    reference grammar — src/query/parser/expr.rs:25-34) ----------------------
+#
+# max_over_time((sum by (et) (value))[10m:1m]) at a 5m outer grid:
+# the inner aggregate evaluates on its own 1m-step grid (per-selector
+# anchoring, lookback = the session lookback = the 5m outer interval), and
+# each inner point then serves every outer window it falls in — the same
+# serve-explode a range selector uses, but over already-aggregated
+# series×step rows. The oracle restates both grids and the (t−range, t]
+# window join in SQL.
+
+_SQ_STEP = MIN_MS            # inner step: 1m
+_SQ_RANGE = 10 * MIN_MS      # subquery range: 10m
+_SQ_IV = 5 * MIN_MS          # outer evaluation interval (= lookback): 5m
+
+register(
+    "pq_subquery_max_sum",
+    lambda spark, sf: _cells(
+        spark, sf, "max_over_time((sum by (et) (value))[10m:1m])",
+        _SQ_IV, ("et",), "max_sum", round6=True,
+    ),
+    f"""WITH {_S_CTE},
+bi AS (SELECT {SINCE_MS + min(_SQ_IV, _SQ_STEP) - 1} AS t0, max(ts_ms) AS tsmax FROM s),
+gi AS (
+  SELECT unnest(generate_series(
+    t0, t0 + ((tsmax + {_SQ_IV - 1} - t0) // {_SQ_STEP}) * {_SQ_STEP},
+    {_SQ_STEP})) AS instant
+  FROM bi
+),
+li AS (
+  SELECT instant, et, ub, value FROM (
+    SELECT gi.instant, s.et, s.ub, s.value,
+           row_number() OVER (PARTITION BY gi.instant, s.et, s.ub
+                              ORDER BY s.ts_ms DESC, s.event_id DESC) AS rn
+    FROM gi JOIN s ON s.ts_ms > gi.instant - {_SQ_IV} AND s.ts_ms <= gi.instant
+  ) WHERE rn = 1
+),
+isum AS (SELECT instant AS ts, et, sum(value) AS v FROM li GROUP BY instant, et),
+bo AS (SELECT {SINCE_MS + min(_SQ_RANGE, _SQ_IV) - 1} AS t0, max(ts) AS tsmax FROM isum),
+go AS (
+  SELECT unnest(generate_series(
+    t0, t0 + ((tsmax + {_SQ_RANGE - 1} - t0) // {_SQ_IV}) * {_SQ_IV},
+    {_SQ_IV})) AS instant
+  FROM bo
+)
+SELECT go.instant, i.et, round(max(i.v) + 1e-7, 6) AS max_sum
+FROM go JOIN isum i ON i.ts > go.instant - {_SQ_RANGE} AND i.ts <= go.instant
+GROUP BY go.instant, i.et""",
+)
+
+
+# -- weighted sampling (A-Res) + concat-and-chunk sequence packing ------------
+
+register(
+    # Efraimidis–Spirakis weighted draw without replacement, weight =
+    # byte length + 1 (an importance-sampling proxy): top-500 by
+    # ln(u)/w with the deterministic portable-hash uniform — one
+    # correctly-rounded ln + one IEEE division per row on both engines
+    "sample_weighted",
+    lambda spark, sf: textops.sample_weighted(
+        _docs(spark, sf).select(
+            "doc_id",
+            (F.length("text") + F.lit(1)).cast("long").alias("w"),
+        ),
+        k=500, weight_col="w", seed="wsmp",
+    ),
+    f"""WITH d AS (
+  SELECT doc_id, CAST(length(text) + 1 AS BIGINT) AS w FROM documents),
+h AS (
+  SELECT doc_id, w,
+         ({_hash_sql("CAST(doc_id AS VARCHAR)", "wsmp")} % 1000000000) AS hv
+  FROM d WHERE w > 0)
+SELECT doc_id, w FROM (
+  SELECT doc_id, w, row_number() OVER (
+    ORDER BY ln((hv + 1) / 1000000001.0) / w DESC, doc_id ASC) AS rn
+  FROM h) WHERE rn <= 500""",
+)
+
+_AT_S = (SINCE_MS + 7 * DAY_MS) // 1000  # fixed @ instant: 2024-01-08T00:00Z
+
+register(
+    # PromQL `@` modifier (extension): the selector window pinned to one
+    # fixed instant, replicated across the (data-anchored) grid — the
+    # fixed-window aggregate is series-dim-sized and BROADCASTS against
+    # the grid (BroadcastNestedLoopJoin over grid × dim rows, never a
+    # data-sized cartesian). Daily grid/lookback so the fixed window holds
+    # samples at every sf (the events stream is ~sparse per minute).
+    "pq_at_fixed",
+    lambda spark, sf: _cells(
+        spark, sf, f"sum by (et) (value @ {_AT_S})",
+        DAY_MS, ("et",), "sum_at", round6=True,
+    ),
+    f"""WITH {_S_CTE}, {_grid_cte(DAY_MS, DAY_MS)},
+fl AS (
+  SELECT et, ub, value FROM (
+    SELECT s.et, s.ub, s.value,
+           row_number() OVER (PARTITION BY s.et, s.ub
+                              ORDER BY s.ts_ms DESC, s.event_id DESC) AS rn
+    FROM s WHERE s.ts_ms > {_AT_S * 1000 - DAY_MS} AND s.ts_ms <= {_AT_S * 1000}
+  ) WHERE rn = 1
+),
+sums AS (
+  SELECT et, round(sum(value) + 1e-7, 6) AS sum_at FROM fl GROUP BY et)
+SELECT g.instant, sums.et, sums.sum_at FROM g CROSS JOIN sums""",
+)
+
+_PACK_CAP = 256
+
+register(
+    # GPT-style concat-and-chunk packing: documents concatenated in id
+    # order, cut every 256 tokens; one row per (bin, doc) overlap. The
+    # engine computes the global prefix sum DISTRIBUTED (range buckets +
+    # bucket-total offsets); the oracle is the plain window restatement.
+    "seq_pack",
+    lambda spark, sf: textops.pack_sequences(
+        _docs(spark, sf), capacity=_PACK_CAP
+    ),
+    f"""WITH w AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(ws) = 1 AND ws[1] = '' THEN 0 ELSE len(ws) END
+              AS BIGINT) AS n
+  FROM w),
+c AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t),
+sp AS (SELECT doc_id, n, cum - n AS s FROM c WHERE n > 0),
+e AS (
+  SELECT doc_id, n, s,
+         unnest(generate_series(s // {_PACK_CAP}, (s + n - 1) // {_PACK_CAP}))
+           AS bin_id
+  FROM sp)
+SELECT CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+       n AS n_tokens,
+       greatest(s, bin_id * {_PACK_CAP}) - s AS tok_off_in_doc,
+       greatest(s, bin_id * {_PACK_CAP}) - bin_id * {_PACK_CAP} AS off_in_bin,
+       least(s + n, (bin_id + 1) * {_PACK_CAP})
+         - greatest(s, bin_id * {_PACK_CAP}) AS seg_tokens
+FROM e""",
+)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -2292,6 +2435,28 @@ _DEFERRED = [
                                # machinery is also exercised in-window by
                                # contam_overlap; green r04-r05 + canaries;
                                # deferred to admit pq_sum_by_et_streamed
+    "pq_trig_fns",             # family: elementwise math — pq_math_fns
+                               # (same _math_fn fact-transform machinery)
+                               # stays; green r05 + both canaries; deferred
+                               # to admit pq_subquery_max_sum (PromQL
+                               # subquery extension)
+    "sample_bernoulli",        # family: deterministic sampling —
+                               # sample_stratified (two-phase top-k) and
+                               # sample_weighted (A-Res, same salted
+                               # machinery + the hash-uniform draw) stay;
+                               # green r04-r05 + canaries; deferred to
+                               # admit sample_weighted
+    "text_chunks",             # family: training-sequence prep — seq_pack
+                               # (concat-and-chunk packing over the same
+                               # tokenization, plus the distributed prefix
+                               # sum) stays; green r05 + canaries; deferred
+                               # to admit seq_pack
+    "pq_sum_by_et_over_tier_1m",  # family: tier serving — THREE in-window
+                               # reps remain: pq_sum_by_et_streamed (the
+                               # same samples_from_tier serving over
+                               # STREAMED partials) and pq_rate_over_tier_1m
+                               # (window serving); green r02-r05 + canaries;
+                               # deferred to admit pq_at_fixed (PromQL `@`)
 ]
 
 for _n in _DEFERRED:

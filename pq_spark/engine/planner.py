@@ -55,6 +55,7 @@ from ..query.ast import (
     LabelMatcher,
     NumberLiteral,
     Parentheses,
+    Subquery,
     UnaryOperation,
     VectorSelector,
     find_smallest_range_ms,
@@ -96,6 +97,7 @@ _CALENDAR_FNS = {
 # explode/fused adaptive strategy as the core over-time functions)
 _STAT_OVER_TIME_FNS = {
     "quantile_over_time", "stddev_over_time", "stdvar_over_time",
+    "present_over_time",
 }
 DEFAULT_INTERVAL_MS = 1000
 
@@ -319,6 +321,8 @@ class Planner:
             return self._plan_binary(node)
         if isinstance(node, FunctionCall):
             return self._plan_function(node)
+        if isinstance(node, Subquery):
+            return self._plan_subquery(node)
         raise PqError(f"cannot plan node {node!r}")
 
     # -- selectors -------------------------------------------------------------
@@ -430,6 +434,17 @@ class Planner:
         lookback = sel.duration_ms if sel.duration_ms is not None else ctx.lookback_ms
         matched, params, grid, sel_dim = self._selector_parts(sel, lookback)
 
+        if getattr(sel, "at_ms", None) is not None:
+            # extension (PromQL `@` modifier): the selector window is
+            # pinned to the fixed instant T — every grid instant sees the
+            # same sample(s). The grid itself stays the selector's normal
+            # data-anchored grid (engine convention). Offset composes as
+            # usual: samples are already shifted, so (T−lookback, T] over
+            # the shifted stream is the original window at T − offset.
+            if not ctx.extensions:
+                raise PqError("@ modifier is not implemented")
+            return self._at_fixed(sel, matched, grid, sel_dim, lookback)
+
         # strategy switch: the serving-instant explode multiplies rows by
         # ceil(lookback/interval) pre-shuffle — above FANOUT_SWITCH the
         # skeleton/window plan is cheaper (see _instant_window_strategy)
@@ -487,6 +502,40 @@ class Planner:
             return VectorFrame(grid, facts, sel_dim)
 
         return RangeFrame(grid, served, sel_dim)
+
+    def _at_fixed(
+        self, sel: VectorSelector, matched: DataFrame, grid: DataFrame,
+        sel_dim: DataFrame, lookback: int,
+    ):
+        """Fixed-instant (`@`) evaluation: one window (T−lookback, T] over
+        the matched samples, replicated to every grid instant.
+
+        Scale shape: the fixed-window aggregate is series-dim-sized (one
+        row per series for instants, window-point-bounded for ranges), so
+        it BROADCASTS against the grid — a BroadcastNestedLoopJoin over
+        grid × dim rows, never a data-sized cartesian."""
+        t_at = int(sel.at_ms)
+        okey = (
+            F.col("ts") * F.lit(1 << 21) + F.pmod(F.col("seq"), F.lit(1 << 21))
+        ).alias("_okey")
+        fixed = matched.filter(
+            (F.col("ts") > F.lit(t_at - lookback)) & (F.col("ts") <= F.lit(t_at))
+        ).select(
+            F.xxhash64(sig_expr(F.col("labels"))).alias("skey"),
+            "value", "ts", "seq", okey,
+        )
+        if sel.duration_ms is None:
+            latest = fixed.groupBy("skey").agg(
+                F.max_by("value", "_okey").alias("value")
+            )
+            facts = grid.crossJoin(F.broadcast(latest)).select(
+                "instant", "skey", "value"
+            )
+            return VectorFrame(grid, facts, sel_dim)
+        facts = grid.crossJoin(F.broadcast(fixed)).select(
+            "instant", "skey", "value", "ts", "seq", "_okey"
+        )
+        return RangeFrame(grid, facts, sel_dim)
 
     # explode fan-out above this, the skeleton/window strategy wins: the
     # explode multiplies every sample by ceil(lookback/interval) rows BEFORE
@@ -554,6 +603,107 @@ class Planner:
             & F.col("_lts").isNotNull()
             & (F.col("_lts") > F.col("ts") - F.lit(lookback))
         ).select(F.col("ts").alias("instant"), "skey", F.col("_lv").alias("value"))
+
+    # -- subqueries ------------------------------------------------------------
+
+    def _plan_subquery(self, node: Subquery) -> RangeFrame:
+        """Extension (PromQL subquery ``expr[range:step]`` — the reference
+        grammar has no such production, src/query/parser/expr.rs:25-34):
+        evaluate the inner instant-vector expression on its own grid with
+        ``interval = step``, then serve each inner sample into every outer
+        window it falls in, exactly like a range selector serves raw
+        samples.
+
+        Grid convention (engine-wide, documented at _scalar_series_vector):
+        the inner expression anchors its own grid (per-selector anchoring
+        with interval=step), NOT Prometheus's absolutely-aligned subquery
+        steps; the OUTER grid is then derived from the inner sample stream
+        with the standard ``t0 = anchor + min(range, interval) − 1`` rule,
+        so a subquery of a bare selector windows the same instants the
+        equivalent range selector would.
+
+        Scale: inner facts are one row per (series, step-instant) — already
+        aggregated, far smaller than raw samples. The serve explode
+        multiplies them by at most ceil(range/outer-interval) (the same
+        bounded fan-out as range selectors); no per-row Python, one
+        broadcast of the 1-row bounds."""
+        if not self.ctx.extensions:
+            raise PqError("subquery is not implemented")
+        step = node.step_ms if node.step_ms is not None else self.ctx.interval_ms
+        sub_ctx = PlanContext(
+            samples=self.ctx.samples,
+            interval_ms=step,
+            lookback_ms=self.ctx.lookback_ms,
+            start_at_ms=self.ctx.start_at_ms,
+            strict=self.ctx.strict,
+            extensions=self.ctx.extensions,
+            persisted=self.ctx.persisted,  # shared: runner unpersists all
+        )
+        inner = Planner(sub_ctx).plan(node.inner)
+        if not isinstance(inner, VectorFrame):
+            raise PqError("subquery expects an instant vector expression")
+
+        interval = self.ctx.interval_ms
+        lookback = int(node.range_ms)
+        # offset: shift the inner sample stream forward (selector
+        # convention) — a window ending at t over the shifted stream equals
+        # the original window at t − offset
+        ts = F.col("instant") + F.lit(int(node.offset_ms))
+        samples = inner.facts.select(
+            ts.cast("long").alias("ts"), "skey", "value"
+        )
+        params, grid = self._grid_params(samples, lookback)
+
+        if node.at_ms is not None:
+            # `expr[r:s] @ T`: the outer window is pinned to T; every grid
+            # instant sees the same inner points (same broadcast shape as
+            # the selector `@` — inner points in one window are bounded by
+            # series × ceil(range/step))
+            t_at = int(node.at_ms)
+            fixed = samples.filter(
+                (F.col("ts") > F.lit(t_at - lookback))
+                & (F.col("ts") <= F.lit(t_at))
+            ).select(
+                "skey", "value", "ts", F.lit(0).cast("long").alias("seq"),
+                (F.col("ts") * F.lit(1 << 21)).alias("_okey"),
+            )
+            facts = grid.crossJoin(F.broadcast(fixed)).select(
+                "instant", "skey", "value", "ts", "seq", "_okey"
+            )
+            return RangeFrame(grid, facts, inner.dim, inner.checks)
+        j = samples.crossJoin(
+            F.broadcast(params.filter(F.col("_kend").isNotNull()))
+        )
+        k0 = F.greatest(
+            F.lit(0).cast("long"), _ceildiv(F.col("ts") - F.col("_t0"), interval)
+        )
+        k1 = F.least(
+            F.col("_kend"),
+            _floordiv(F.col("ts") + F.lit(lookback - 1) - F.col("_t0"), interval),
+        )
+        served = (
+            j.withColumn("_k0", k0)
+            .withColumn("_k1", k1)
+            .filter(F.col("_k1") >= F.col("_k0"))
+            .select(
+                F.explode(F.sequence("_k0", "_k1")).alias("_k"),
+                "_t0",
+                "skey",
+                "value",
+                "ts",
+            )
+            .select(
+                (F.col("_t0") + F.col("_k") * F.lit(interval)).alias("instant"),
+                "skey",
+                "value",
+                "ts",
+                F.lit(0).cast("long").alias("seq"),
+                # one inner sample per (series, instant): seq ≡ 0 in the
+                # packed ordering key
+                (F.col("ts") * F.lit(1 << 21)).alias("_okey"),
+            )
+        )
+        return RangeFrame(grid, served, inner.dim, inner.checks)
 
     # -- unary -----------------------------------------------------------------
 
@@ -759,6 +909,7 @@ class Planner:
             if (
                 isinstance(argnode, VectorSelector)
                 and argnode.duration_ms is not None
+                and argnode.at_ms is None  # @-pinned windows take _at_fixed
                 and math.ceil(argnode.duration_ms / self.ctx.interval_ms)
                 > self.FANOUT_SWITCH
             ):
@@ -781,6 +932,7 @@ class Planner:
             if (
                 isinstance(argnode, VectorSelector)
                 and argnode.duration_ms is not None
+                and argnode.at_ms is None  # @-pinned windows take _at_fixed
                 and math.ceil(argnode.duration_ms / self.ctx.interval_ms)
                 > self.FANOUT_SWITCH
             ):
@@ -1151,6 +1303,10 @@ class Planner:
         def over(c):
             return c.over(w) if w is not None else c
 
+        if name == "present_over_time":
+            # 1 for any non-empty window; empty windows never reach here
+            # (grouped: group requires a point; fused: the _n >= 1 filter)
+            return F.lit(1.0)
         if name == "stddev_over_time":
             return over(F.stddev_pop("value"))
         if name == "stdvar_over_time":

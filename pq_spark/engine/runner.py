@@ -49,6 +49,8 @@ def _count_selectors(node) -> int:
         return _count_selectors(node.lhs) + _count_selectors(node.rhs)
     if isinstance(node, A.FunctionCall):
         return sum(_count_selectors(a) for a in node.args if isinstance(a, A.Expr))
+    if isinstance(node, A.Subquery):
+        return _count_selectors(node.inner)
     return 0
 
 

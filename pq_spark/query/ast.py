@@ -115,6 +115,7 @@ class VectorSelector(Expr):
     matchers: list[LabelMatcher]
     duration_ms: int | None = None  # range selector when set
     offset_ms: int = 0  # extension: the reference's expr.rs:33 TODO
+    at_ms: int | None = None  # extension: PromQL `@ <ts>` modifier
 
     @staticmethod
     def create(
@@ -122,6 +123,7 @@ class VectorSelector(Expr):
         matchers: list[LabelMatcher],
         duration_ms: int | None,
         offset_ms: int = 0,
+        at_ms: int | None = None,
     ) -> "VectorSelector":
         # reference: src/query/parser/ast.rs:387-416
         matches_everything = all(m.matches("") for m in matchers)
@@ -133,7 +135,24 @@ class VectorSelector(Expr):
         matchers = list(matchers)
         if name is not None:
             matchers.append(LabelMatcher(NAME_LABEL, "=", name))
-        return VectorSelector(matchers, duration_ms, offset_ms)
+        return VectorSelector(matchers, duration_ms, offset_ms, at_ms)
+
+
+@dataclass
+class Subquery(Expr):
+    """Extension (PromQL subquery, absent from the reference grammar —
+    src/query/parser/expr.rs has no ``[range:step]`` production): evaluate
+    ``inner`` as an instant vector on its own ``step``-interval grid, then
+    expose those per-instant samples as a range vector of width ``range``
+    to the enclosing function, e.g. ``max_over_time(rate(v[1m])[10m:1m])``.
+    ``step_ms=None`` means "default to the outer evaluation interval"
+    (PromQL's resolution default)."""
+
+    inner: Expr
+    range_ms: int
+    step_ms: int | None = None
+    offset_ms: int = 0
+    at_ms: int | None = None  # extension: PromQL `@ <ts>` modifier
 
 
 @dataclass
@@ -209,4 +228,11 @@ def find_smallest_range_ms(node: Expr) -> int | None:
         return None
     if isinstance(node, VectorSelector):
         return node.duration_ms
+    if isinstance(node, Subquery):
+        # the subquery's own range is a range literal too; the inner
+        # expression may carry smaller selector ranges (rate windows)
+        got = find_smallest_range_ms(node.inner)
+        if got is not None:
+            return min(got, node.range_ms)
+        return node.range_ms
     return None

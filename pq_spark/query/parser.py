@@ -31,6 +31,7 @@ from .ast import (
     NumberLiteral,
     Parentheses,
     PRECEDENCE,
+    Subquery,
     UnaryOperation,
     VectorSelector,
 )
@@ -91,6 +92,7 @@ _FUNCTION_NAMES = [  # alternation order from expr.rs:423-436
     # _aggregate, so the 'stddev'/'quantile' aggregate-op prefixes never
     # strand the '_over_time' suffix — the count_values bug class)
     "quantile_over_time", "stddev_over_time", "stdvar_over_time",
+    "present_over_time",
     # round-5 extensions: counter analysis, linear regression, label_join,
     # trigonometry + pi. Prefix pairs (sin/sinh, …) are order-safe: the
     # "("-follows check rejects the short tag on the longer name's input.
@@ -124,6 +126,7 @@ _FUNC_ARG_KINDS: dict[str, list[str]] = {
     "quantile_over_time": ["number", "range"],
     "stddev_over_time": ["range"],
     "stdvar_over_time": ["range"],
+    "present_over_time": ["range"],
     "abs": ["vector"],
     "ceil": ["vector"],
     "floor": ["vector"],
@@ -269,10 +272,49 @@ def _prefix(cur: Cursor) -> Expr:
                 _vector_selector_expr):
         saved = cur.save()
         try:
-            return alt(cur)
+            return _postfix_subquery(cur, alt(cur))
         except _Miss:
             cur.restore(saved)
     cur.fail("expression", "a valid expression")
+
+
+def _postfix_subquery(cur: Cursor, node: Expr) -> Expr:
+    """Extension postfix: ``expr[range:step]`` (PromQL subquery — no such
+    production in the reference grammar, expr.rs:25-34). ``:step`` may be
+    empty (default = outer evaluation interval), and the subquery may carry
+    its own ``offset <dur>``. Applied greedily so nested subqueries like
+    ``max_over_time(x[2m:30s])[10m:1m]`` parse."""
+    while True:
+        saved = cur.save()
+        cur.ws()
+        if not cur.char("["):
+            cur.restore(saved)
+            return node
+        rest = cur.s[cur.pos:]
+        try:
+            range_ms, consumed = parse_duration_prefix(rest)
+        except ParseError:
+            cur.restore(saved)
+            return node
+        if cur.s[cur.pos + consumed : cur.pos + consumed + 1] != ":":
+            # plain `[dur]` after a non-selector expression is not a range
+            # selector; leave it unconsumed (top-level parse will fail with
+            # the reference's EOF error, same as `rate(v)[1m]` would)
+            cur.restore(saved)
+            return node
+        cur.pos += consumed + 1
+        step_ms = None
+        if cur.peek() != "]":
+            rest = cur.s[cur.pos:]
+            try:
+                step_ms, consumed = parse_duration_prefix(rest)
+            except ParseError:
+                cur.fail("subquery", "step duration literal")
+            cur.pos += consumed
+        if not cur.char("]"):
+            cur.fail("subquery", "]")
+        offset_ms, at_ms = _selector_modifiers(cur)
+        node = Subquery(node, range_ms, step_ms, offset_ms, at_ms)
 
 
 def _binary_op(cur: Cursor) -> str | None:
@@ -557,29 +599,59 @@ def _vector_selector(cur: Cursor) -> VectorSelector:
         except ParseError:
             cur.fail("range vector selector", "duration literal")
         cur.pos += consumed
-        if not cur.char("]"):
+        if cur.peek() == ":":
+            # `sel[range:step]` is a SUBQUERY over the instant selector —
+            # leave the whole bracket for the postfix handler (_prefix)
+            duration_ms = None
+            cur.restore(saved)
+        elif not cur.char("]"):
             cur.fail("range vector selector", "]")
     else:
         cur.restore(saved)
 
-    # extension: `offset <duration>` (the reference leaves this as a TODO,
-    # src/query/parser/expr.rs:33). Consumed only when the keyword is
-    # followed by a duration; the evaluator gates it behind extensions.
-    saved = cur.save()
-    cur.ws()
-    offset_ms = 0
-    if cur.regex(_OFFSET_KW):
-        cur.ws()
-        rest = cur.s[cur.pos:]
-        try:
-            offset_ms, consumed = parse_duration_prefix(rest)
-        except ParseError:
-            cur.fail("offset modifier", "duration literal")
-        cur.pos += consumed
-    else:
-        cur.restore(saved)
+    # extensions: `offset <duration>` (the reference leaves this as a TODO,
+    # src/query/parser/expr.rs:33) and the PromQL `@ <unix-ts>` modifier —
+    # each at most once, in either order (PromQL). Consumed only when the
+    # keyword/sigil is followed by its literal; the evaluator gates both
+    # behind extensions.
+    offset_ms, at_ms = _selector_modifiers(cur)
 
-    return VectorSelector.create(name, matchers, duration_ms, offset_ms)
+    return VectorSelector.create(name, matchers, duration_ms, offset_ms, at_ms)
+
+
+def _selector_modifiers(cur: Cursor) -> tuple[int, int | None]:
+    """Postfix ``offset <dur>`` / ``@ <ts>`` modifiers (order-free, once
+    each). ``@`` takes a unix timestamp in (possibly fractional) seconds."""
+    offset_ms = 0
+    at_ms = None
+    seen_off = seen_at = False
+    while True:
+        saved = cur.save()
+        cur.ws()
+        if not seen_off and cur.regex(_OFFSET_KW):
+            cur.ws()
+            rest = cur.s[cur.pos:]
+            try:
+                offset_ms, consumed = parse_duration_prefix(rest)
+            except ParseError:
+                cur.fail("offset modifier", "duration literal")
+            cur.pos += consumed
+            seen_off = True
+            continue
+        if not seen_at and cur.char("@"):
+            cur.ws()
+            m = cur.regex(_NUMBER)
+            if not m:
+                cur.fail("@ modifier", "unix timestamp literal")
+            v = float(m.group(0).lower().replace("infinity", "inf"))
+            if v != v or v in (float("inf"), float("-inf")):
+                cur.fail("@ modifier", "finite timestamp")
+            at_ms = int(round(v * 1000.0))
+            seen_at = True
+            continue
+        cur.restore(saved)
+        break
+    return offset_ms, at_ms
 
 
 def _vector_selector_expr(cur: Cursor) -> Expr:

@@ -1028,6 +1028,147 @@ def sample_stratified(
     )
 
 
+def sample_weighted(
+    docs: DataFrame, k: int, weight_col: str, seed: str = "wsmp",
+    id_col: str = "doc_id", n_salt: int = 64,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res, Inf. Process. Lett. 97(5), 2006): the k docs with the
+    largest ``u^(1/w)`` — equivalently largest ``ln(u)/w`` — where ``u``
+    is a per-doc uniform derived from the portable id hash, so the draw
+    is a pure function of (id, weight): stable across reruns and engines,
+    and a DuckDB oracle recomputes the key exactly (one correctly-rounded
+    ln + one IEEE division per row — no accumulation, so cross-engine
+    agreement is ulp-exact). Docs with weight ≤ 0 are never selected.
+
+    The standard importance-sampling step for training mixes (weight =
+    token count, quality score, domain boost…): inclusion probability is
+    proportional to weight in the without-replacement sense.
+
+    Scale shape: the same exact two-phase salted top-k as
+    ``sample_stratified`` — per-(salt) local cut bounds every task at
+    n/n_salt rows, then one global top-k over ≤ k·n_salt survivors;
+    correct for any bucketing because (key desc, id asc) is total."""
+    from pyspark.sql import Window
+
+    u = (
+        F.pmod(portable_hash(F.col(id_col).cast("string"), seed),
+               F.lit(1_000_000_000)) + F.lit(1)
+    ) / F.lit(1_000_000_001.0)
+    key = F.ln(u) / F.col(weight_col).cast("double")
+    salt = F.pmod(
+        portable_hash(F.col(id_col).cast("string"), seed + "#salt"),
+        F.lit(n_salt),
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_salt")
+        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
+    )
+    survivors = (
+        docs.where(F.col(weight_col) > 0)
+        .withColumn("_key", key).withColumn("_salt", salt)
+        .withColumn("_rn", local)
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    final = F.row_number().over(
+        Window.orderBy(F.col("_key").desc(), F.col(id_col).asc())
+    )
+    # the global window runs over ≤ k·n_salt survivor rows — bounded, not
+    # data-sized, so the single-partition sort is safe at any corpus size
+    return (
+        survivors.withColumn("_rn", final)
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_key")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, capacity: int, id_col: str = "doc_id",
+    text_col: str = "text", n_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk training-sequence packing: documents are
+    concatenated in ``id`` order into one global token stream, which is
+    cut every ``capacity`` tokens; each document is emitted once per
+    training sequence (bin) it overlaps, with its in-bin placement:
+
+        (bin_id, doc_id, n_tokens, tok_off_in_doc, off_in_bin, seg_tokens)
+
+    The output is a pure integer function of (ids, token counts) — no
+    randomness, no floats — so a DuckDB oracle (one window prefix-sum)
+    restates it exactly, and a resumed run re-derives identical packing.
+
+    Scale shape — distributed prefix sum, NOT a global window sort:
+    range-repartition by id, per-partition cumulative sums (window within
+    the range bucket), then one driver-side scan over the ≤ n_partitions
+    bucket totals broadcast back as offsets. The only driver materialization
+    is bucket-count-sized; the per-doc explode fans out by
+    ceil(n/capacity) + 1 at most. The narrow (id, n, pid, cum) relation
+    stays persisted under the returned DataFrame (it pins one sampled
+    range partitioning — see the in-body comment); looping callers should
+    unpersist/clearCache between batches."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    from pyspark.sql import Window
+
+    w = words_col(F.col(text_col))
+    n = F.when(
+        (F.size(w) == 1) & (F.element_at(w, 1) == ""), F.lit(0)
+    ).otherwise(F.size(w)).cast("long")
+    spark = docs.sparkSession
+    p = n_partitions or spark.sparkContext.defaultParallelism
+    base = (
+        docs.select(F.col(id_col), n.alias("_n"))
+        .repartitionByRange(p, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # local prefix sum within each range bucket (rows already carry their
+    # bucket id, so correctness is independent of where the window exec
+    # re-clusters them)
+    local = F.sum("_n").over(
+        Window.partitionBy("_pid").orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # persist pins ONE range partitioning: the bucket-total collect and the
+    # main output must see identical _pid boundaries (a re-planned
+    # repartitionByRange re-samples with a fresh rdd-id-derived seed, so
+    # two separate computations could disagree). The cached relation is
+    # (id, n, pid, cum) — narrow rows, MEMORY_AND_DISK at corpus scale.
+    based = base.withColumn("_cum_local", local).persist()
+    totals = sorted(
+        (r["_pid"], r["_t"])
+        for r in based.groupBy("_pid").agg(F.max("_cum_local").alias("_t")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, t in totals:
+        offsets[pid] = acc
+        acc += t or 0
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    cum = (F.col("_cum_local") + off_map[F.col("_pid")]).alias("_cum")
+    spanned = based.select(F.col(id_col), "_n", cum).where(F.col("_n") > 0)
+    s = F.col("_cum") - F.col("_n")  # global start offset of the doc
+    b0 = F.floor(s / capacity)
+    b1 = F.floor((F.col("_cum") - 1) / capacity)
+    exploded = spanned.select(
+        F.col(id_col), "_n", s.alias("_s"),
+        F.explode(F.sequence(b0, b1)).alias("bin_id"),
+    )
+    seg_start = F.greatest(F.col("_s"), F.col("bin_id") * capacity)
+    seg_end = F.least(
+        F.col("_s") + F.col("_n"), (F.col("bin_id") + 1) * capacity
+    )
+    return exploded.select(
+        F.col("bin_id").cast("long"),
+        F.col(id_col),
+        F.col("_n").alias("n_tokens"),
+        (seg_start - F.col("_s")).cast("long").alias("tok_off_in_doc"),
+        (seg_start - F.col("bin_id") * capacity).cast("long").alias("off_in_bin"),
+        (seg_end - seg_start).cast("long").alias("seg_tokens"),
+    )
+
+
 def clean_text(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:

@@ -486,3 +486,117 @@ def test_double_exponential_smoothing(spark):
     for q in ["holt_winters(m[2s], 0, 0.3)", "holt_winters(m[2s], 0.4, 1)"]:
         with pytest.raises(PqError):
             eng.evaluate(q, sdf)
+
+
+def test_present_over_time(spark, samples):
+    eng = PqEngine(spark, extensions=True)
+    got = _cells(eng.evaluate("present_over_time(m[1s])", samples))
+    assert got and all(v == 1.0 for (_, _, v) in got)
+    # high-fanout fused path (range/interval > FANOUT_SWITCH) agrees
+    rows = [(i, i * 1000, "c", {"__name__": "c"}, float(i)) for i in (1, 9)]
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    got = _cells(eng.evaluate("present_over_time(c[20s])", sdf,
+                              since_ms=1000, interval_ms=1000))
+    # present at every grid instant whose 20s window holds a point
+    assert got and all(v == 1.0 for (_, _, v) in got)
+    with pytest.raises(PqError):
+        PqEngine(spark, extensions=False).evaluate(
+            "present_over_time(m[1s])", samples)
+
+
+# -- PromQL subqueries (extension) -------------------------------------------
+
+_SQ_ROWS = [
+    (1, 1000, "m", {"__name__": "m", "a": "x"}, 1.0),
+    (2, 3000, "m", {"__name__": "m", "a": "x"}, 5.0),
+    (3, 6000, "m", {"__name__": "m", "a": "x"}, 2.0),
+]
+
+
+def test_subquery_max_over_time(spark):
+    """max_over_time(m[4s:2s]) at interval 4s, since 1s.
+
+    Inner instant vector (step 2s, lookback 4s): grid t0 = 1000 +
+    min(4000, 2000) − 1 = 2999 → instants 2999/4999/6999/8999 with latest
+    values 1/5/2/2. Outer grid t0 = 1000 + min(4000, 4000) − 1 = 4999,
+    drain to 8999; windows (t−4s, t] over the inner points."""
+    eng = PqEngine(spark, extensions=True)
+    sdf = spark.createDataFrame(_SQ_ROWS, SCHEMA)
+    got = _cells(eng.evaluate("max_over_time(m[4s:2s])", sdf,
+                              since_ms=1000, interval_ms=4000))
+    assert [(i, v) for (i, _, v) in got] == [(4999, 5.0), (8999, 2.0)]
+
+
+def test_subquery_default_step_and_offset(spark):
+    eng = PqEngine(spark, extensions=True)
+    sdf = spark.createDataFrame(_SQ_ROWS, SCHEMA)
+    # empty step defaults to the outer interval: inner instants 4999/8999
+    # with latest 5/2 → sum windows pick exactly one point each
+    got = _cells(eng.evaluate("sum_over_time(m[4s:])", sdf,
+                              since_ms=1000, interval_ms=4000))
+    assert [(i, v) for (i, _, v) in got] == [(4999, 5.0), (8999, 2.0)]
+    # offset shifts the inner sample stream 2 s forward (selector
+    # convention): windows read the subquery 2 s in the past
+    got = _cells(eng.evaluate("max_over_time(m[4s:2s] offset 2s)", sdf,
+                              since_ms=1000, interval_ms=4000))
+    assert [(i, v) for (i, _, v) in got] == [
+        (4999, 1.0), (8999, 5.0), (12999, 2.0)]
+
+
+def test_subquery_over_expression(spark):
+    # subquery over an aggregate: (sum by () over two series) — the inner
+    # expression is re-planned per step instant, then windowed
+    eng = PqEngine(spark, extensions=True)
+    rows = _SQ_ROWS + [
+        (4, 1000, "m", {"__name__": "m", "a": "y"}, 10.0),
+        (5, 6000, "m", {"__name__": "m", "a": "y"}, 20.0),
+    ]
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    got = _cells(eng.evaluate("max_over_time((sum(m))[4s:2s])", sdf,
+                              since_ms=1000, interval_ms=4000))
+    # inner sums at 2999/4999/6999/8999 = 11/15/22/22
+    assert [(i, v) for (i, _, v) in got] == [(4999, 15.0), (8999, 22.0)]
+
+
+def test_subquery_validations(spark):
+    sdf = spark.createDataFrame(_SQ_ROWS, SCHEMA)
+    with pytest.raises(PqError):
+        PqEngine(spark, extensions=False).evaluate(
+            "max_over_time(m[4s:2s])", sdf)
+    with pytest.raises(PqError):
+        # scalar inner is not an instant vector
+        PqEngine(spark, extensions=True).evaluate(
+            "max_over_time((1)[4s:2s])", sdf)
+
+
+def test_at_modifier_fixed_instant(spark):
+    """`@ T` pins the window to T; every grid instant sees the same
+    sample. Grid stays the selector's data-anchored grid."""
+    eng = PqEngine(spark, extensions=True)
+    sdf = spark.createDataFrame(_SQ_ROWS, SCHEMA)
+    got = _cells(eng.evaluate("m @ 3", sdf, since_ms=1000, interval_ms=2000))
+    assert [(i, v) for (i, _, v) in got] == [
+        (2999, 5.0), (4999, 5.0), (6999, 5.0)]
+    # range selector under an over-time fn: same fixed window everywhere
+    got = _cells(eng.evaluate("sum_over_time(m[2s] @ 6.999)", sdf,
+                              since_ms=1000, interval_ms=2000))
+    assert [(i, v) for (i, _, v) in got] == [
+        (2999, 2.0), (4999, 2.0), (6999, 2.0)]
+    # offset composes: window reads 1 s in the past of T
+    got = _cells(eng.evaluate("m @ 3 offset 1s", sdf,
+                              since_ms=1000, interval_ms=2000))
+    assert got and all(v == 1.0 for (_, _, v) in got)
+    # subquery @: the outer window pinned to T over inner step instants
+    got = _cells(eng.evaluate("max_over_time(m[4s:2s] @ 8.999)", sdf,
+                              since_ms=1000, interval_ms=4000))
+    assert [(i, v) for (i, _, v) in got] == [(4999, 2.0), (8999, 2.0)]
+    # empty fixed window → no samples anywhere (grid still emits empties)
+    got = _cells(eng.evaluate("m @ 0.5", sdf, since_ms=1000, interval_ms=2000))
+    assert got == []
+    # high-fanout ratio (range/interval > FANOUT_SWITCH) must NOT take the
+    # fused sliding path — @-pinned windows are constant, not sliding
+    got = _cells(eng.evaluate("sum_over_time(m[6s] @ 6.999)", sdf,
+                              since_ms=1000, interval_ms=200))
+    assert got and all(v == 8.0 for (_, _, v) in got)  # 1+5+2 in (999,6999]
+    with pytest.raises(PqError):
+        PqEngine(spark, extensions=False).evaluate("m @ 3", sdf)

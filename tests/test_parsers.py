@@ -403,3 +403,74 @@ def test_number_literal_reference_table():
             assert abs(got - expected) < 2.220446049250313e-16, s
         else:
             assert got == expected, s
+
+
+def test_subquery_parses():
+    """Extension: PromQL subquery ``expr[range:step]`` (no such production
+    in the reference grammar, expr.rs:25-34)."""
+    import pytest
+
+    from pq_spark.errors import ParseError
+    from pq_spark.query.ast import Subquery, find_smallest_range_ms
+    from pq_spark.query.parser import parse_expr
+
+    e = parse_expr("foo[5m:1m]")
+    assert isinstance(e, Subquery)
+    assert e.range_ms == 300_000 and e.step_ms == 60_000 and e.offset_ms == 0
+    assert e.inner.duration_ms is None  # inner is the INSTANT selector
+
+    # empty step defaults to the outer evaluation interval
+    e = parse_expr("foo[5m:]")
+    assert e.step_ms is None
+
+    # over an arbitrary expression + its own offset
+    e = parse_expr("max_over_time((sum by (et) (rate(v[1m])))[10m:30s] offset 2m)")
+    sq = e.args[0]
+    assert isinstance(sq, Subquery)
+    assert sq.range_ms == 600_000 and sq.step_ms == 30_000
+    assert sq.offset_ms == 120_000
+
+    # nests
+    e = parse_expr("max_over_time(x[2m:30s])[10m:1m]")
+    assert isinstance(e, Subquery) and isinstance(e.args if False else e.inner.args[0], Subquery)
+
+    # binds tighter than binary operators
+    e = parse_expr("avg_over_time(a[4m:2m]) + 1")
+    assert e.op == "+"
+
+    # smallest-range interval inference sees both the subquery range and
+    # inner selector ranges
+    assert find_smallest_range_ms(parse_expr("foo[5m:1m]")) == 300_000
+    assert find_smallest_range_ms(parse_expr("rate(v[1m])[10m:30s]")) == 60_000
+
+    # a plain [dur] postfix on a non-selector is still rejected
+    with pytest.raises(ParseError):
+        parse_expr("rate(v)[1m]")
+    # unterminated subquery
+    with pytest.raises(ParseError):
+        parse_expr("foo[5m:1m")
+
+
+def test_at_modifier_parses():
+    """Extension: PromQL `@ <unix-ts>` after selectors and subqueries,
+    order-free with `offset`, at most once each."""
+    import pytest
+
+    from pq_spark.errors import ParseError
+    from pq_spark.query.parser import parse_expr
+
+    e = parse_expr("foo @ 1700000000")
+    assert e.at_ms == 1_700_000_000_000 and e.offset_ms == 0
+    e = parse_expr("foo[5m] @ 1700000000.5")
+    assert e.at_ms == 1_700_000_000_500 and e.duration_ms == 300_000
+    assert parse_expr("foo @ 1 offset 5m").offset_ms == 300_000
+    assert parse_expr("foo offset 5m @ 1").at_ms == 1000
+    sq = parse_expr("foo[5m:1m] @ 7 offset 2m")
+    assert sq.at_ms == 7000 and sq.offset_ms == 120_000
+    assert sq.inner.at_ms is None
+    with pytest.raises(ParseError):
+        parse_expr("foo @")
+    with pytest.raises(ParseError):
+        parse_expr("foo @ Inf")
+    with pytest.raises(ParseError):
+        parse_expr("foo @ 1 @ 2")

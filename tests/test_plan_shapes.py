@@ -160,6 +160,8 @@ PIPELINE_OPS = [
     "pq_stress_topk_rate",
     "text_chunks",
     "pq_histogram_quantile",
+    "sample_weighted",
+    "seq_pack",
 ]
 
 
@@ -184,6 +186,23 @@ def test_pipeline_ops_plan_shapes(spark, name):
         wins = [l for l in lines if re.match(r"^\(\d+\) Window", l)]
         assert len(wins) >= 2, f"two-phase top-k expected two Windows\n{plan}"
         assert "_salt" in plan, f"phase-1 window must partition by salt\n{plan}"
+    if name == "sample_weighted":
+        # A-Res rides the same two-phase salted top-k contract as
+        # sample_stratified: the data-sized phase-1 window partitions by
+        # _salt; only the ≤ k·n_salt survivor window may be global
+        wins = [l for l in lines if re.match(r"^\(\d+\) Window", l)]
+        assert len(wins) >= 2, f"two-phase top-k expected two Windows\n{plan}"
+        assert "_salt" in plan, f"phase-1 window must partition by salt\n{plan}"
+    if name == "seq_pack":
+        # distributed prefix sum: the running-sum window must partition by
+        # the range bucket (_pid) — a GLOBAL running-sum window would
+        # serialize the corpus through one task
+        assert "_pid" in plan, f"prefix-sum window must partition by _pid\n{plan}"
+        bad = [
+            l for l in plan.splitlines()
+            if "windowspecdefinition(" in l and "sum(" in l and "_pid" not in l
+        ]
+        assert not bad, "global running-sum window\n" + "\n".join(bad)
     if name == "text_repetition":
         # round-4 verdict item 4: the raw gram string must not ride an
         # exchange — aggregates key on the 60-bit portable hash

@@ -248,3 +248,77 @@ def test_chunk_docs_semantics(spark):
     assert rows[(2, 0)] == (1, 2, "x y")
     assert not any(d == 3 for (d, _c) in rows)
     assert len(rows) == 5
+
+
+def test_sample_weighted_semantics(spark):
+    """A-Res: top-k by ln(u)/w, deterministic in (id, weight); weight 0 /
+    negative rows never selected; heavier docs win ties of the uniform."""
+    import math
+
+    from pq_spark.textops import sample_weighted
+
+    rows = [(i, f"d{i}", (i % 7) + 1) for i in range(1, 201)]
+    rows += [(900, "z", 0), (901, "z", -3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, w long")
+    got = sample_weighted(docs, k=25, weight_col="w").collect()
+    ids = sorted(r["doc_id"] for r in got)
+    assert len(ids) == 25 and 900 not in ids and 901 not in ids
+
+    # python replication of the exact key (hash is md5-portable)
+    import hashlib
+
+    def key(i, w):
+        h = int(hashlib.md5(f"wsmp:{i}".encode()).hexdigest()[:15], 16)
+        u = (h % 1_000_000_000 + 1) / 1_000_000_001.0
+        return math.log(u) / w
+
+    expect = sorted(
+        ((i, w) for (i, _t, w) in rows if w > 0),
+        key=lambda p: (-key(*p), p[0]),
+    )[:25]
+    assert ids == sorted(i for (i, _w) in expect)
+
+    # determinism across repartitionings
+    got2 = sample_weighted(docs.repartition(13), k=25, weight_col="w").collect()
+    assert sorted(r["doc_id"] for r in got2) == ids
+
+
+def test_pack_sequences_semantics(spark):
+    from pq_spark.textops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),      # 5 tokens: global [0, 5)
+         (2, ""),               # empty → absent
+         (3, "f g h i j k"),    # 6 tokens: [5, 11)
+         (4, "l"),              # 1 token: [11, 12)
+         (5, "m n o p q r s")], # 7 tokens: [12, 19)
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, capacity=4, n_partitions=3).collect()
+    rows = sorted(
+        (r["bin_id"], r["doc_id"], r["tok_off_in_doc"], r["off_in_bin"],
+         r["seg_tokens"]) for r in out
+    )
+    # bins of 4: doc1 [0,5) → bins 0,1; doc3 [5,11) → bins 1,2; doc4
+    # [11,12) → bin 2; doc5 [12,19) → bins 3,4
+    assert rows == [
+        (0, 1, 0, 0, 4),
+        (1, 1, 4, 0, 1),
+        (1, 3, 0, 1, 3),
+        (2, 3, 3, 0, 3),
+        (2, 4, 0, 3, 1),
+        (3, 5, 0, 0, 4),
+        (4, 5, 4, 0, 3),
+    ]
+    # per-bin occupancy: every bin except the last is exactly full
+    occ = {}
+    for (b, _d, _o, _ob, s) in rows:
+        occ[b] = occ.get(b, 0) + s
+    assert occ == {0: 4, 1: 4, 2: 4, 3: 4, 4: 3}
+    # invariant under a different partition count (distributed prefix sum
+    # is bucketing-independent)
+    out2 = pack_sequences(docs, capacity=4, n_partitions=1).collect()
+    assert sorted(
+        (r["bin_id"], r["doc_id"], r["tok_off_in_doc"], r["off_in_bin"],
+         r["seg_tokens"]) for r in out2
+    ) == rows

@@ -1,4 +1,5 @@
 from .rollup_stream import (
+    streaming_dedup,
     streaming_hll_tier,
     streaming_last_value,
     streaming_tier,
@@ -11,6 +12,7 @@ from .serve import (
 
 __all__ = [
     "streaming_tier",
+    "streaming_dedup",
     "streaming_last_value",
     "streaming_hll_tier",
     "stream_samples_with_sig2",

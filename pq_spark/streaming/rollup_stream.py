@@ -208,3 +208,42 @@ def streaming_last_value(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup over an unbounded document stream: keep the
+    FIRST ARRIVAL of each normalized-text hash within the watermark
+    horizon (``dropDuplicatesWithinWatermark`` on the md5 content hash —
+    the same portable hash ``textops.exact_dedup`` keys on).
+
+    Batch/stream divergence, documented like §2.4's out-of-order note:
+    the batch operator keeps the MIN-ID representative of each duplicate
+    group (a total order exists on bounded input); an unbounded stream
+    has no total order, so the streaming representative is the first
+    arrival — same groups, same survivor count, possibly different
+    representative ids.
+
+    Scale contract: state holds one entry per distinct hash seen within
+    the watermark horizon and Spark evicts entries older than the
+    event-time watermark, so a perpetual crawl stream runs in BOUNDED
+    state (the horizon × ingest rate), unlike a naive dropDuplicates
+    whose state grows with the corpus. ``ts_col`` is epoch ms (the
+    crawl timestamp); duplicates arriving farther apart than the horizon
+    are NOT collapsed — dedup beyond the horizon belongs to the batch
+    compaction pass (the standard lambda split).
+    """
+    h = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+    return (
+        docs.withColumn("_ets", F.timestamp_millis(F.col(ts_col)))
+        .withColumn("_text_hash", h)
+        .withWatermark("_ets", watermark)
+        .dropDuplicatesWithinWatermark(["_text_hash"])
+        .drop("_ets")
+    )

@@ -306,3 +306,54 @@ def test_streaming_pq_query_serving_equals_batch(spark, tmp_path):
         want = cells(eng.evaluate(
             f"sum_over_time(m[{rng}])", raw, since_ms=0, interval_ms=60_000))
         assert got == want and len(got) > 0, rng
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """First-arrival exact dedup within the watermark horizon: in-horizon
+    duplicates collapse (same and cross micro-batch); a duplicate arriving
+    after the watermark passed the original's expiry is KEPT — the state
+    eviction that keeps a perpetual stream's state bounded."""
+    from pq_spark.streaming import streaming_dedup
+
+    # base offset keeps every event time strictly above the INITIAL
+    # watermark (epoch 0) — a row at event time 0 is filtered as late
+    B = 10_000_000
+    batch1 = [
+        {"doc_id": 1, "ts": B, "text": "Hello   World"},
+        {"doc_id": 2, "ts": B + 30_000, "text": "hello world"},  # dup of 1
+        {"doc_id": 3, "ts": B + 60_000, "text": "unique one"},
+        {"doc_id": 4, "ts": B + 90_000, "text": "HELLO WORLD"},  # dup of 1
+        # sentinel: drives the watermark to B+880_000, past doc 1's state
+        # expiry (B + 120_000) before batch 2 runs
+        {"doc_id": 6, "ts": B + 1_000_000, "text": "sentinel text"},
+    ]
+    batch2 = [
+        # expired state is EVICTED at the end of the batch that advances
+        # the watermark past it — an intermediate batch makes the eviction
+        # observable to the next one
+        {"doc_id": 7, "ts": B + 2_000_000, "text": "second sentinel"},
+    ]
+    batch3 = [
+        # same content far beyond the horizon: old hash state was evicted,
+        # so this reappearance is kept (batch compaction's job, not ours)
+        {"doc_id": 5, "ts": B + 10_000_000, "text": "hello world"},
+    ]
+    _write_jsonl(tmp_path / "part-0.jsonl", batch1)
+    # distinct mtimes: the file source orders batches by modification time,
+    # and same-second files can coalesce into one micro-batch
+    time.sleep(1.1)
+    _write_jsonl(tmp_path / "part-1.jsonl", batch2)
+    time.sleep(1.1)
+    _write_jsonl(tmp_path / "part-2.jsonl", batch3)
+    stream = (
+        spark.readStream.schema("doc_id long, ts long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path))
+    )
+    deduped = streaming_dedup(stream, watermark="2 minutes")
+    out = _run_stream(spark, deduped, f"sd_{int(time.time()*1000)}")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # exactly ONE of the in-horizon duplicate group {1, 2, 4} survives
+    # (first arrival within a micro-batch is scan-order, not id-order)
+    assert sum(1 for i in ids if i in (1, 2, 4)) == 1
+    assert [i for i in ids if i not in (1, 2, 4)] == [3, 5, 6, 7]

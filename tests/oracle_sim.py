@@ -45,13 +45,15 @@ class Sim:
                 return False
         return True
 
-    def selector(self, matchers, duration=None, offset=0):
+    def selector(self, matchers, duration=None, offset=0, at=None):
         """Returns (grid, cells): grid = [instants]; cells = {instant:
         [(labels, value)...] sig-ordered} for instant vectors, or window
         point lists for range vectors. ``offset`` (ms) evaluates the
         selector that far in the past: samples shift forward by the
         offset BEFORE the grid anchor is derived, matching the engine's
-        extension semantics (planner._selector_parts)."""
+        extension semantics (planner._selector_parts). ``at`` (ms) pins
+        the window to one fixed instant (PromQL ``@``): every grid
+        instant sees the fixed window's result (planner._at_fixed)."""
         lb = duration if duration is not None else self.lookback
         matched = [s for s in self.samples if self._matches(s[2], matchers)]
         if offset:
@@ -68,11 +70,10 @@ class Sim:
         kend = (tsmax + lb - 1 - t0) // self.interval
         grid = [t0 + k * self.interval for k in range(kend + 1)]
 
-        cells = {}
-        for t in grid:
+        def window_out(wt):
             per_series = {}
             for (seq, ts, labels, value) in matched:
-                if t - lb < ts <= t:
+                if wt - lb < ts <= wt:
                     per_series.setdefault(sig_of(labels), []).append(
                         (ts, seq, labels, value)
                     )
@@ -84,6 +85,15 @@ class Sim:
                     out.append((labels_, value_))
                 else:
                     out.append((pts[0][2], [(p[0], p[1], p[3]) for p in pts]))
+            return out
+
+        if at is not None:
+            fixed = window_out(at)
+            return grid, ({t: fixed for t in grid} if fixed else {})
+
+        cells = {}
+        for t in grid:
+            out = window_out(t)
             if out:
                 cells[t] = out
         return grid, cells
@@ -287,6 +297,52 @@ class SimExt(Sim):
     deterministic choice — keep the earliest series in input-emission
     order — which is one valid refinement of the unspecified behavior.
     """
+
+    def subquery(self, inner, range_ms, step=None, offset=0, at=None):
+        """PromQL subquery ``expr[range:step]`` (engine's _plan_subquery):
+        ``inner`` is a callable (sub_sim) -> (grid, cells) evaluating the
+        inner INSTANT-vector expression on a sub-simulator whose interval
+        is the step; each inner (instant, series, value) point then
+        becomes a window point of the outer range vector — windows
+        (t − range, t] over the engine's standard grid rule, anchored by
+        the inner sample stream. ``at`` pins the outer window."""
+        step = step if step is not None else self.interval
+        sub = type(self)(self.samples, step, self.lookback, self.since)
+        igrid, icells = inner(sub)
+        pts = []  # (ts, labels, value) — ts is the (offset-shifted) instant
+        for t in igrid:
+            for labels, v in icells.get(t, []):
+                pts.append((t + offset, labels, v))
+        if not pts:
+            return [], {}
+        tsmax = max(p[0] for p in pts)
+        anchor = self.since if self.since is not None else min(p[0] for p in pts)
+        t0 = anchor + min(range_ms, self.interval) - 1
+        if tsmax + range_ms - 1 < t0:
+            return [], {}
+        kend = (tsmax + range_ms - 1 - t0) // self.interval
+        grid = [t0 + k * self.interval for k in range(kend + 1)]
+
+        def window_out(wt):
+            per = {}
+            for (ts, labels, v) in pts:
+                if wt - range_ms < ts <= wt:
+                    per.setdefault(sig_of(labels), []).append((ts, labels, v))
+            out = []
+            for sg in sorted(per):
+                pl = sorted(per[sg], key=lambda p: p[0])  # seq ≡ 0
+                out.append((pl[0][1], [(p[0], 0, p[2]) for p in pl]))
+            return out
+
+        if at is not None:
+            fixed = window_out(at)
+            return grid, ({t: fixed for t in grid} if fixed else {})
+        cells = {}
+        for t in grid:
+            out = window_out(t)
+            if out:
+                cells[t] = out
+        return grid, cells
 
     def math_fn(self, name, frame):
         """Elementwise math functions (IEEE-exact subset), Prometheus

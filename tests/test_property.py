@@ -69,6 +69,15 @@ EXT_QUERIES = [
     "sqrt(m)",
     "sgn(m)",
     "floor(sqrt(abs(m)))",
+    # round-6 extensions: subqueries (inner on its own step grid, outer
+    # windows over the inner points) and the @ modifier (fixed window
+    # replicated across the grid)
+    "max_over_time(m[4s:2s])",
+    "sum_over_time((sum by (a) (m))[4s:2s])",
+    "rate((sum(m))[4s:2s])",
+    "m @ 4",
+    "sum_over_time(m[3s] @ 5)",
+    "count_over_time(m[4s:2s] @ 9)",
 ]
 
 
@@ -151,6 +160,43 @@ def _sim_query(sim: Sim, q: str):
         return sim.rate_family(
             "delta", sim.selector([(NAME, "=", "m")], duration=2000)
         )
+    if q == "max_over_time(m[4s:2s])":
+        return sim.over_time(
+            "max_over_time",
+            sim.subquery(lambda s: s.selector([(NAME, "=", "m")]), 4000, 2000),
+        )
+    if q == "sum_over_time((sum by (a) (m))[4s:2s])":
+        return sim.over_time(
+            "sum_over_time",
+            sim.subquery(
+                lambda s: s.aggregate(
+                    "sum", s.selector([(NAME, "=", "m")]), ("by", {"a"})
+                ),
+                4000, 2000,
+            ),
+        )
+    if q == "rate((sum(m))[4s:2s])":
+        return sim.rate_family(
+            "rate",
+            sim.subquery(
+                lambda s: s.aggregate("sum", s.selector([(NAME, "=", "m")])),
+                4000, 2000,
+            ),
+        )
+    if q == "m @ 4":
+        return sim.selector([(NAME, "=", "m")], at=4000)
+    if q == "sum_over_time(m[3s] @ 5)":
+        return sim.over_time(
+            "sum_over_time",
+            sim.selector([(NAME, "=", "m")], duration=3000, at=5000),
+        )
+    if q == "count_over_time(m[4s:2s] @ 9)":
+        return sim.over_time(
+            "count_over_time",
+            sim.subquery(
+                lambda s: s.selector([(NAME, "=", "m")]), 4000, 2000, at=9000
+            ),
+        )
     if q in ("abs(m)", "ceil(m)", "floor(m)", "round(m)", "sqrt(m)", "sgn(m)"):
         return sim.math_fn(q.split("(")[0], sim.selector([(NAME, "=", "m")]))
     if q == "floor(sqrt(abs(m)))":
@@ -216,6 +262,9 @@ boundary_strategy = st.lists(
 
 
 def _interval_for(q: str) -> int:
+    if "[4s:" in q:
+        # engine interval inference: smallest range incl. the subquery range
+        return 4000
     if "[3s]" in q:
         return 3000
     if "[2s]" in q:

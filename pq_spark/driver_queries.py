@@ -2302,6 +2302,62 @@ FROM e""",
 )
 
 
+# -- round-6 extension families: mad_over_time, limitk, limit_ratio ----------
+
+_W30 = 1_800_000  # 30m — range/interval = 30 > FANOUT_SWITCH, so the
+                  # driver row exercises the FUSED sliding-window plan
+
+register(
+    "pq_mad_over_time",
+    lambda spark, sf: _cells(
+        spark, sf, "mad_over_time(value[30m])", MIN_MS, ("et", "ub"),
+        "mad_value", round6=True),
+    # median(|x − m|) with m = median(x), both linear-interpolated.
+    # 2-dp inputs make every interpolated median a whole multiple of
+    # 1e-6 (quarters of 0.01), so the 6-dp contract never lands on a
+    # rounding half-boundary.
+    f"""WITH {_S_CTE}, {_grid_cte(MIN_MS, _W30)}, {_window_cte(_W30)},
+med AS (SELECT instant, et, ub, median(value) AS m
+        FROM win GROUP BY instant, et, ub)
+SELECT w.instant, w.et, w.ub,
+       round(median(abs(w.value - med.m)) + 1e-7, 6) AS mad_value
+FROM win w JOIN med USING (instant, et, ub)
+GROUP BY w.instant, w.et, w.ub""",
+)
+
+register(
+    "pq_limitk",
+    # extension (experimental PromQL): first k series PRESENT at each
+    # instant in sig order — deterministic (Prometheus leaves the pick
+    # unspecified); original labels kept. Within fixed et the sig order
+    # reduces to ub order, which the oracle restates directly.
+    lambda spark, sf: _cells(
+        spark, sf, "limitk(2, value) by (et)", MIN_MS, ("et", "ub"), "value"),
+    f"""WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)}
+SELECT instant, et, ub, value FROM (
+  SELECT instant, et, ub, value,
+         row_number() OVER (PARTITION BY instant, et ORDER BY ub) AS rn
+  FROM latest) WHERE rn <= 2""",
+)
+
+_LR_SIG = ("'__name__'||chr(255)||'value'||'et'||chr(255)||et"
+           "||'ub'||chr(255)||ub")
+
+register(
+    "pq_limit_ratio",
+    # extension (experimental PromQL): deterministic per-series hash
+    # sampling — keep series with portable-hash uniform u(sig) < r; the
+    # oracle recomputes the 60-bit md5 hash bit-for-bit. Dim-sized work
+    # + one broadcast semi-join; no per-instant fact window.
+    lambda spark, sf: _cells(
+        spark, sf, "limit_ratio(0.3, value)", MIN_MS, ("et", "ub"), "value"),
+    f"""WITH {_S_CTE}, {_grid_cte(MIN_MS, MIN_MS)}, {_latest_cte(MIN_MS)}
+SELECT instant, et, ub, value FROM latest
+WHERE CAST(('0x'||substr(md5('lr:'||{_LR_SIG}),1,15)) AS BIGINT)
+      / 1152921504606846976.0 < 0.3""",
+)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -2441,11 +2497,11 @@ _DEFERRED = [
                                # to admit pq_subquery_max_sum (PromQL
                                # subquery extension)
     "sample_bernoulli",        # family: deterministic sampling —
-                               # sample_stratified (two-phase top-k) and
                                # sample_weighted (A-Res, same salted
-                               # machinery + the hash-uniform draw) stay;
-                               # green r04-r05 + canaries; deferred to
-                               # admit sample_weighted
+                               # two-phase machinery + the hash-uniform
+                               # draw) stays in-window; green r04-r05 +
+                               # canaries; deferred to admit
+                               # sample_weighted
     "text_chunks",             # family: training-sequence prep — seq_pack
                                # (concat-and-chunk packing over the same
                                # tokenization, plus the distributed prefix
@@ -2457,6 +2513,29 @@ _DEFERRED = [
                                # STREAMED partials) and pq_rate_over_tier_1m
                                # (window serving); green r02-r05 + canaries;
                                # deferred to admit pq_at_fixed (PromQL `@`)
+    # round-6 second rotation: three redundant green siblings deferred to
+    # admit the three new extension families (pq_mad_over_time, pq_limitk,
+    # pq_limit_ratio)
+    "pq_avg_by_et",            # family: mean aggregation — pq_sum_by_et
+                               # and pq_count_quirk_by_et stay (avg is
+                               # sum/count in the same grouped
+                               # HashAggregate); green r01-r05 + both
+                               # canaries; deferred to admit
+                               # pq_mad_over_time (windowed stat family)
+    "pq_group_right",          # family: grouped vector matching —
+                               # pq_group_left stays (same
+                               # _vector_vector_grouped machinery,
+                               # direction-flipped; the r4 gap row was
+                               # proven green r05 + both canaries);
+                               # deferred to admit pq_limitk
+    "sample_stratified",       # family: deterministic sampling —
+                               # sample_weighted stays (the SAME exact
+                               # two-phase salted top-k plan; the
+                               # _salt/two-Window plan gate remains
+                               # pytest-pinned on this very query in
+                               # test_plan_shapes); green r04-r05 + both
+                               # canaries; deferred to admit
+                               # pq_limit_ratio (hash-sampled series)
 ]
 
 for _n in _DEFERRED:

@@ -61,6 +61,7 @@ from ..query.ast import (
     find_smallest_range_ms,
     op_kind,
 )
+from ..textops import portable_hash
 from .frames import Check, RangeFrame, ScalarResult, ScalarSeries, VectorFrame
 
 NAME_LABEL = "__name__"
@@ -97,9 +98,20 @@ _CALENDAR_FNS = {
 # explode/fused adaptive strategy as the core over-time functions)
 _STAT_OVER_TIME_FNS = {
     "quantile_over_time", "stddev_over_time", "stdvar_over_time",
-    "present_over_time",
+    "present_over_time", "mad_over_time",
 }
 DEFAULT_INTERVAL_MS = 1000
+
+
+def _arr_median(a: Column) -> Column:
+    """Linear-interpolated median of a SORTED array (percentile_cont 0.5):
+    odd n → middle element, even n → mean of the two middle elements.
+    1-based element_at; floor((n+1)/2) == floor(n/2)+1 for odd n, so both
+    branches read the same element there."""
+    n = F.size(a)
+    lo = F.element_at(a, F.floor((n + F.lit(1)) / F.lit(2)).cast("int"))
+    hi = F.element_at(a, (F.floor(n / F.lit(2)) + F.lit(1)).cast("int"))
+    return (lo + hi) / F.lit(2)
 
 
 def sig_expr(labels: Column) -> Column:
@@ -734,6 +746,9 @@ class Planner:
             raise PqError("aggregate operators expect an instant vector")
 
         op = node.op
+        if op in ("limitk", "limit_ratio") and not self.ctx.extensions:
+            # experimental-PromQL extensions; not in the reference grammar
+            raise PqError(f"aggregation operator {op} is not implemented")
         if op in ("quantile", "stddev", "stdvar", "count_values") and not self.ctx.extensions:
             # parse-only in the reference — evaluator panics
             # (aggregate.rs:184); enable via extensions=True
@@ -765,18 +780,48 @@ class Planner:
             w = Window.partitionBy("_gkey").orderBy("ord")
             return gm.withColumn("_ordn", F.row_number().over(w))
 
-        if op in ("topk", "bottomk"):
+        if op == "limit_ratio":
+            # Extension (experimental PromQL): deterministic per-SERIES
+            # hash sampling — keep series whose portable-hash uniform
+            # u(sig) ∈ [0,1) lands below r (r ≥ 0), or in the complement
+            # [1+r, 1) for r < 0, so limit_ratio(r, v) and
+            # limit_ratio(r-1, v) partition the input exactly. Unlike
+            # Prometheus's labels.Hash() this uses the repo's portable
+            # 60-bit md5 hash, so a DuckDB oracle reproduces it
+            # bit-for-bit. Purely dim-sized work + one broadcast
+            # semi-join — no per-instant window over facts.
+            r = min(max(float(node.argument), -1.0), 1.0)
+            u = portable_hash(F.col("sig"), "lr") / F.lit(float(1 << 60))
+            kept = gmap.filter(u < F.lit(r) if r >= 0 else u >= F.lit(1.0 + r))
+            facts = inner.facts.join(
+                F.broadcast(kept.select("skey")), "skey", "semi"
+            )
+            out_dim = kept.select(
+                "skey",
+                "sig",
+                "labels",
+                F.concat(F.col("_gsig"), F.lit("\x7f"), F.col("sig")).alias("ord"),
+            )
+            return VectorFrame(inner.grid, facts, out_dim, inner.checks)
+
+        if op in ("topk", "bottomk", "limitk"):
             from pyspark.sql import Window
 
             k = max(int(node.argument), 0)
             f = inner.facts.join(
                 F.broadcast(_with_ordn(gmap).select("skey", "_gkey", "_ordn")), "skey"
             )
-            # reference iterates BTreeMap (sig) order, aggregate.rs:100-165
-            order = [F.col("value").desc(), F.col("_ordn")] if op == "topk" else [
-                F.col("value").asc(),
-                F.col("_ordn"),
-            ]
+            # reference iterates BTreeMap (sig) order, aggregate.rs:100-165.
+            # limitk (extension, experimental PromQL): the first k series
+            # PRESENT at each instant in that same sig order — Prometheus
+            # leaves the pick unspecified; pinning it to the engine's
+            # output-order convention makes it deterministic and oracle-able
+            if op == "limitk":
+                order = [F.col("_ordn")]
+            elif op == "topk":
+                order = [F.col("value").desc(), F.col("_ordn")]
+            else:
+                order = [F.col("value").asc(), F.col("_ordn")]
             w = Window.partitionBy("instant", "_gkey").orderBy(*order)
             facts = (
                 f.withColumn("_rn", F.row_number().over(w))
@@ -1311,6 +1356,19 @@ class Planner:
             return over(F.stddev_pop("value"))
         if name == "stdvar_over_time":
             return over(F.var_pop("value"))
+        if name == "mad_over_time":
+            # median absolute deviation: median(|x − median(x)|), both
+            # medians linear-interpolated (Prometheus quantile(0.5) ==
+            # percentile_cont). One collect_list (window point count ≤
+            # ceil(range/scrape) — the same bound as the irate/holt
+            # collect pattern), all array math JVM-side. The collected
+            # list is null-free (skeleton rows carry null values, which
+            # collect_list drops — same contract count/sum rely on).
+            a = F.sort_array(over(F.collect_list("value")))
+            m = _arr_median(a)
+            return _arr_median(
+                F.sort_array(F.transform(a, lambda v: F.abs(v - m)))
+            )
         # NaN first: it passes both range guards (NaN<0 and NaN>1 are
         # false) but Spark's percentile rejects it — Prometheus says NaN
         if q is not None and math.isnan(q):

@@ -64,7 +64,12 @@ _AGGREGATE_OPS = [  # from expr.rs:293-309, with count_values hoisted:
     # hard-fails) — the same class of grammar bug as avg_over_time, fixed
     # the same way (longest-prefix first); programs it affects are hard
     # errors in the reference, so no parseable program changes meaning
-    "avg", "bottomk", "count_values", "count", "group", "max", "min",
+    "avg", "bottomk", "count_values", "count", "group",
+    # extensions beyond the reference grammar (planner rejects them unless
+    # extensions are enabled): experimental-PromQL limitk / limit_ratio.
+    # limit_ratio first — not a prefix pair, but longest-first by habit
+    "limit_ratio", "limitk",
+    "max", "min",
     "quantile", "stddev", "stdvar", "sum", "topk",
 ]
 
@@ -92,7 +97,7 @@ _FUNCTION_NAMES = [  # alternation order from expr.rs:423-436
     # _aggregate, so the 'stddev'/'quantile' aggregate-op prefixes never
     # strand the '_over_time' suffix — the count_values bug class)
     "quantile_over_time", "stddev_over_time", "stdvar_over_time",
-    "present_over_time",
+    "present_over_time", "mad_over_time",
     # round-5 extensions: counter analysis, linear regression, label_join,
     # trigonometry + pi. Prefix pairs (sin/sinh, …) are order-safe: the
     # "("-follows check rejects the short tag on the longer name's input.
@@ -127,6 +132,7 @@ _FUNC_ARG_KINDS: dict[str, list[str]] = {
     "stddev_over_time": ["range"],
     "stdvar_over_time": ["range"],
     "present_over_time": ["range"],
+    "mad_over_time": ["range"],
     "abs": ["vector"],
     "ceil": ["vector"],
     "floor": ["vector"],
@@ -466,7 +472,7 @@ def _aggregate(cur: Cursor) -> Expr:
         if not m:
             cur.fail("count_values operator", "string literal")
         argument = m.group(1)
-    elif op in ("quantile", "topk", "bottomk"):
+    elif op in ("quantile", "topk", "bottomk", "limitk", "limit_ratio"):
         cur.ws()
         m = cur.regex(_NUMBER)
         if not m:

@@ -600,3 +600,115 @@ def test_at_modifier_fixed_instant(spark):
     assert got and all(v == 8.0 for (_, _, v) in got)  # 1+5+2 in (999,6999]
     with pytest.raises(PqError):
         PqEngine(spark, extensions=False).evaluate("m @ 3", sdf)
+
+
+def test_mad_over_time(spark):
+    """median(|x − median(x)|), both medians linear-interpolated; explode
+    and fused sliding-window paths agree exactly."""
+    from pq_spark.engine.planner import Planner
+
+    eng = PqEngine(spark, extensions=True)
+    rows = [
+        # series a at instant 4999 (window 4s): [1, 2, 4, 10]
+        #   median = 3.0, |dev| sorted = [1, 1, 2, 7] → mad = 1.5
+        (1, 1500, "m", {"__name__": "m", "k": "a"}, 1.0),
+        (2, 2500, "m", {"__name__": "m", "k": "a"}, 2.0),
+        (3, 3500, "m", {"__name__": "m", "k": "a"}, 4.0),
+        (4, 4500, "m", {"__name__": "m", "k": "a"}, 10.0),
+        # series b: odd count [5, 6, 9] → median 6, devs [0, 1, 3] → 1.0
+        (5, 2000, "m", {"__name__": "m", "k": "b"}, 5.0),
+        (6, 3000, "m", {"__name__": "m", "k": "b"}, 6.0),
+        (7, 4000, "m", {"__name__": "m", "k": "b"}, 9.0),
+    ]
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    got = _cells(eng.evaluate("mad_over_time(m[4s])", sdf,
+                              since_ms=1000, interval_ms=4000))
+    d = {(i, dict(l)["k"]): v for (i, l, v) in got}
+    assert d[(4999, "a")] == 1.5
+    assert d[(4999, "b")] == 1.0
+    # single-point window → mad 0
+    got1 = _cells(eng.evaluate("mad_over_time(m[1s])", sdf,
+                               since_ms=1000, interval_ms=1000))
+    assert got1 and all(v == 0.0 for (_, _, v) in got1)
+
+    # fused ≡ explode (range/interval = 40 > FANOUT_SWITCH triggers fused)
+    def run():
+        return _cells(eng.evaluate("mad_over_time(m[4s])", sdf,
+                                   since_ms=1000, interval_ms=100))
+
+    assert 40 > Planner.FANOUT_SWITCH
+    fused = run()
+    old = Planner.FANOUT_SWITCH
+    try:
+        Planner.FANOUT_SWITCH = 10_000
+        exploded = run()
+    finally:
+        Planner.FANOUT_SWITCH = old
+    assert fused == exploded and len(fused) > 0
+
+
+def test_limitk(spark):
+    """First k series PRESENT at each instant in sig (output-order) sig
+    order — deterministic, original labels kept."""
+    eng = PqEngine(spark, extensions=True)
+    rows = [
+        (1, 1000, "m", {"__name__": "m", "g": "1", "s": "a"}, 1.0),
+        (2, 1000, "m", {"__name__": "m", "g": "1", "s": "b"}, 2.0),
+        (3, 1000, "m", {"__name__": "m", "g": "1", "s": "c"}, 3.0),
+        (4, 1000, "m", {"__name__": "m", "g": "2", "s": "d"}, 4.0),
+        # instant 2: series a absent (stale) → b, c take the two slots
+        (5, 2000, "m", {"__name__": "m", "g": "1", "s": "b"}, 20.0),
+        (6, 2000, "m", {"__name__": "m", "g": "1", "s": "c"}, 30.0),
+        (7, 2000, "m", {"__name__": "m", "g": "2", "s": "d"}, 40.0),
+    ]
+    sdf = spark.createDataFrame(rows, SCHEMA)
+
+    def series(q, instant):
+        got = _cells(eng.evaluate(q, sdf, since_ms=1000, interval_ms=1000,
+                                  lookback_ms=1000))
+        return sorted(dict(l)["s"] for (i, l, v) in got if i == instant)
+
+    q = "limitk(2, m) by (g)"
+    assert series(q, 1999) == ["a", "b", "d"]  # g=1 → a,b; g=2 → d
+    assert series(q, 2999) == ["b", "c", "d"]  # a stale → b,c step in
+    assert series("limitk(0, m)", 1999) == []
+    assert series("limitk(9, m)", 1999) == ["a", "b", "c", "d"]
+    with pytest.raises(PqError):
+        PqEngine(spark, extensions=False).evaluate("limitk(2, m)", sdf)
+
+
+def test_limit_ratio(spark):
+    """Deterministic portable-hash series sampling: r and r−1 partition
+    the input exactly; selection is per-series (stable across instants)."""
+    from pyspark.sql import functions as F
+
+    eng = PqEngine(spark, extensions=True)
+    sdf = spark.range(40).select(
+        (F.col("id") + 1).alias("seq"),
+        (F.lit(1000) + (F.col("id") % 2) * 1000).alias("ts"),
+        F.lit("m").alias("name"),
+        F.create_map(
+            F.lit("__name__"), F.lit("m"),
+            F.lit("s"), F.col("id").cast("string"),
+        ).alias("labels"),
+        F.col("id").cast("double").alias("value"),
+    )
+
+    def keyset(q):
+        got = _cells(eng.evaluate(q, sdf, since_ms=1000, interval_ms=1000,
+                                  lookback_ms=1000))
+        return {(i, dict(l)["s"]) for (i, l, v) in got}
+
+    whole = keyset("m")
+    kept, comp = keyset("limit_ratio(0.4, m)"), keyset("limit_ratio(-0.6, m)")
+    assert kept | comp == whole and not (kept & comp)
+    assert kept and comp  # 40 series: both sides populated w.h.p.
+    # per-series stability: a series kept at one instant is kept at all
+    kept_series = {s for (_, s) in kept}
+    assert kept == {(i, s) for (i, s) in whole if s in kept_series}
+    # determinism + clamping
+    assert keyset("limit_ratio(0.4, m)") == kept
+    assert keyset("limit_ratio(1.5, m)") == whole
+    assert keyset("limit_ratio(0, m)") == set()
+    with pytest.raises(PqError):
+        PqEngine(spark, extensions=False).evaluate("limit_ratio(0.4, m)", sdf)

@@ -2340,6 +2340,35 @@ SELECT instant, et, ub, value FROM (
   FROM latest) WHERE rn <= 2""",
 )
 
+register(
+    "text_unigram_ppl",
+    # unigram-LM log-perplexity (CCNet/KenLM-style LM-filter stand-in):
+    # add-one-smoothed unigram model fit on the corpus itself, vocab =
+    # deterministic top-256 tokens (count desc, token asc), OOV mass in
+    # one UNK bucket. ln is correctly rounded on both engines (the
+    # sample_weighted precedent); the per-doc sum order is not → the
+    # 6-dp + _EPS6 contract on the mean.
+    lambda spark, sf: textops.unigram_logppl(
+        _docs(spark, sf), vocab_k=256
+    ).select(
+        "doc_id", "n_tokens",
+        F.round(F.col("logppl") + F.lit(_EPS6), 6).alias("logppl"),
+    ),
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+),
+counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w ASC LIMIT 256),
+tot AS (SELECT sum(c) AS n FROM counts),
+iv AS (SELECT sum(c) AS nv, count(*) AS v FROM vocab)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(sum(-ln((coalesce(vb.c, tot.n - iv.nv) + 1) * 1.0
+                     / (tot.n + iv.v + 1)))
+             / count(*) + 1e-7, 6) AS logppl
+FROM toks t LEFT JOIN vocab vb USING (w), tot, iv
+GROUP BY t.doc_id""",
+)
+
 _LR_SIG = ("'__name__'||chr(255)||'value'||'et'||chr(255)||et"
            "||'ub'||chr(255)||ub")
 
@@ -2355,6 +2384,83 @@ register(
 SELECT instant, et, ub, value FROM latest
 WHERE CAST(('0x'||substr(md5('lr:'||{_LR_SIG}),1,15)) AS BIGINT)
       / 1152921504606846976.0 < 0.3""",
+)
+
+register(
+    "text_dup_ngrams",
+    # CROSS-document duplicate-5-gram token coverage (RedPajama-v2/Dolma
+    # "fraction of duplicated n-grams"; the scalable stand-in for
+    # suffix-array substring dedup, Lee et al. 2022). Interval-union
+    # coverage: overlapping duplicated grams never double-count a token.
+    # Grams ride exchanges as 60-bit hashes; dup detection is one
+    # min(doc)≠max(doc) aggregate; the oracle recomputes the identical
+    # hash and union. Integer/int division → 6-dp + _EPS6 on both sides.
+    lambda spark, sf: textops.dup_ngram_coverage(_docs(spark, sf), n=5).select(
+        "doc_id", "n_tokens",
+        F.round(F.col("dup_ngram_frac") + F.lit(_EPS6), 6)
+        .alias("dup_ngram_frac"),
+    ),
+    f"""WITH w AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, len(ws) AS n_tokens, i - 1 AS pos,
+         CASE WHEN len(ws) >= 5
+              THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                   ws[i+3] || ' ' || ws[i+4]
+              ELSE array_to_string(ws, ' ') END AS g
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
+        FROM w)),
+gh AS (SELECT doc_id, n_tokens, pos, {_hash_sql('g', 'xdup')} AS gh FROM g),
+dup AS (SELECT gh FROM gh GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+hits AS (
+  SELECT doc_id, n_tokens, pos,
+         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM gh JOIN dup USING (gh)),
+cov AS (
+  SELECT doc_id, sum(CASE WHEN nxt IS NULL THEN least(5, n_tokens - pos)
+                          ELSE least(5, nxt - pos) END) AS c
+  FROM hits GROUP BY doc_id)
+SELECT w.doc_id, len(ws) AS n_tokens,
+       round(coalesce(c, 0) * 1.0 / len(ws) + 1e-7, 6) AS dup_ngram_frac
+FROM w LEFT JOIN cov USING (doc_id)""",
+)
+
+# domain-mixture targets for the driver row: src0 is thinned (rate<1 at
+# every sf: 0.04·N/n_s = 0.8 under the uniform 20-source synth), src1-3
+# saturate at rate 1, the other 16 sources get weight 0 and are dropped —
+# all three branches of the accept-rate formula exercised at every scale.
+_MIX_TARGETS = {"src0": 0.04, "src1": 0.06, "src2": 0.30, "src3": 0.60}
+_MIX_TOTAL = sum(_MIX_TARGETS.values())
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {w / _MIX_TOTAL!r}::DOUBLE"
+    for s, w in sorted(_MIX_TARGETS.items())
+) + " ELSE 0.0::DOUBLE END"
+
+register(
+    "sample_mixture",
+    # DoReMi/Pile-style domain-mixture resampling (downsampling-only):
+    # keep doc iff portable-uniform u(doc_id) < min(1, w_s·N/n_s). The
+    # accept set is a pure function of (doc_id, stratum counts) — one
+    # multiply+divide per stratum and one division per doc, both
+    # correctly rounded, so the oracle reproduces it id-for-id (the
+    # sample_weighted precedent). Display rate rides the 6-dp contract.
+    lambda spark, sf: textops.mixture_sample(
+        _docs(spark, sf), _MIX_TARGETS
+    ).select(
+        "doc_id", "source",
+        F.round(F.col("accept_rate") + F.lit(_EPS6), 6).alias("accept_rate"),
+    ),
+    f"""WITH c AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+t AS (SELECT count(*) AS n FROM documents),
+r AS (
+  SELECT doc_id, source,
+         least(1.0::DOUBLE, {_MIX_CASE} * t.n / c.ns) AS rate
+  FROM documents JOIN c USING (source), t)
+SELECT doc_id, source, round(rate + 1e-7, 6) AS accept_rate
+FROM r
+WHERE ((('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 1000000000) + 1) / 1000000001.0 < rate""",
 )
 
 
@@ -2441,9 +2547,8 @@ _DEFERRED = [
     # round-5 second rotation: four redundant green siblings deferred to
     # admit the four new extension families (pq_changes, pq_deriv,
     # pq_label_join, pq_trig_fns)
-    "ann_lsh_topk",            # family: ANN — ann_cosine_topk (brute
-                               # baseline) and ann_ivf_topk (probed scale
-                               # path) stay; green r01-r04
+    "ann_lsh_topk",            # family: ANN — ann_ivf_topk (probed scale
+                               # path) stays in-window; green r01-r04
     "pq_sum_over_time_over_tier_1m",  # family: tier serving — instant
                                # serving (pq_sum_by_et_over_tier_1m) and
                                # window serving via rate
@@ -2536,6 +2641,28 @@ _DEFERRED = [
                                # test_plan_shapes); green r04-r05 + both
                                # canaries; deferred to admit
                                # pq_limit_ratio (hash-sampled series)
+    "ann_cosine_topk",         # family: ANN — ann_ivf_topk stays (the
+                               # probed scale path; its pytest oracle
+                               # pins recall AGAINST the brute baseline,
+                               # which this query computes); green
+                               # r01-r05 + both canaries; deferred to
+                               # admit text_unigram_ppl (unigram-LM
+                               # perplexity scoring)
+    "dedup_near_pairs",        # family: LSH near-dup — dedup_components
+                               # stays and COMPOSES the identical
+                               # near_dup_pairs(LSH → exact Jaccard)
+                               # call as its input graph; green r01-r05
+                               # + both canaries; deferred to admit
+                               # text_dup_ngrams (cross-doc duplicate
+                               # n-gram coverage)
+    "pq_offset_1h",            # family: time-shift modifiers —
+                               # pq_at_fixed keeps the shifted-grid
+                               # machinery in-window and offset is
+                               # additionally pinned by goldens +
+                               # offset property tests; green r01-r05
+                               # + both canaries; deferred to admit
+                               # sample_mixture (domain-mixture
+                               # resampling)
 ]
 
 for _n in _DEFERRED:

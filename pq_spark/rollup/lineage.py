@@ -266,10 +266,35 @@ class TierStore:
             # are never touched — the write needs no overwrite mode at all
             cid = uuid.uuid4().hex[:12]
             data_rel = os.path.join("data", cid)
+            # repartition by (partition value, bounded content-hash split):
+            # pure repartition(part_col) would funnel EVERY row of a date
+            # through ONE writer task — a serialization point at any scale
+            # (a 3-day corpus writes on 3 cores of a 1000-core cluster) —
+            # while a raw write would emit (tasks × partitions) small
+            # files. The sub-split key caps files-per-partition at the
+            # session's parallelism and keeps all writers busy; it hashes a
+            # stable atomic column so the layout is deterministic for a
+            # deterministic input.
+            k = df.sparkSession.sparkContext.defaultParallelism
+            atomic = [
+                f.name for f in out.schema.fields
+                if f.name != part_col
+                and f.dataType.typeName()
+                in ("long", "integer", "string", "double", "timestamp")
+            ]
+            pref = [c for c in ("skey", "sig", "bucket_ts", "block_ts") if c in atomic]
+            split_col = (pref or atomic or [None])[0]
+            split = (
+                F.pmod(F.xxhash64(F.col(split_col)), F.lit(k))
+                if split_col is not None and k > 1
+                else F.lit(0)
+            )
             (
-                # repartition by the partition value: one writer set per
-                # partition instead of (tasks × partitions) small files
-                out.repartition(F.col(part_col))
+                # explicit numPartitions: AQE coalesces column-only
+                # repartitions back down (small-in-bytes tier outputs
+                # collapse to ~1 writer task); an explicit count pins k
+                # write tasks regardless of byte-size heuristics
+                out.repartition(k, F.col(part_col), split)
                 .write.mode("error")
                 .partitionBy(part_col)
                 .parquet(os.path.join(result.table_path, data_rel))

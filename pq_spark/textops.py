@@ -874,6 +874,65 @@ def doc_fingerprint(
     )
 
 
+def unigram_logppl(
+    docs: DataFrame, vocab_k: int = 4096,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM log-perplexity scoring (the cheap stand-in for
+    CCNet/KenLM-style LM filtering in training-data pipelines): score
+    each document by the mean negative log-probability of its tokens
+    under an add-one-smoothed unigram model fit on the corpus itself.
+
+    The vocabulary is the corpus top ``vocab_k`` tokens by (count desc,
+    token asc) — a DETERMINISTIC cut that keeps the probability dim
+    broadcast-sized at any corpus scale; everything outside it collapses
+    into one UNK bucket carrying the residual mass. With add-one
+    smoothing over V in-vocab types + UNK:
+
+        p(w in vocab) = (c_w + 1) / (N + V + 1)
+        p(UNK)        = (c_unk + 1) / (N + V + 1)
+        logppl(doc)   = mean over tokens of −ln p(token)
+
+    Scale shape: one explode, one token-count hash aggregation
+    (map-side combine → vocab-sized output), a TakeOrdered top-V (never
+    a full sort), two 1-row global aggregates broadcast back, one
+    broadcast LEFT join on token, one per-doc aggregation. ln is
+    correctly rounded on both engines (the sample_weighted precedent);
+    the per-doc SUM order is not, so callers round the mean to 6 dp with
+    the shared epsilon on both sides."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    toks = docs.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    vocab = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(vocab_k)
+    totals = counts.agg(
+        F.sum("c").alias("_n"), F.count("*").alias("_types")
+    )
+    invocab = vocab.agg(
+        F.sum("c").alias("_nv"), F.count("*").alias("_v")
+    )
+    g = F.broadcast(totals.crossJoin(invocab)).withColumn(
+        "_cunk", F.col("_n") - F.col("_nv")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(g)
+        .withColumn(
+            "_nlp",
+            -F.log(
+                (F.coalesce(F.col("c"), F.col("_cunk")) + F.lit(1)).cast("double")
+                / (F.col("_n") + F.col("_v") + F.lit(1)).cast("double")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (F.sum("_nlp") / F.count("*")).alias("logppl"),
+    )
+
+
 def ngrams_col(col: Column, n: int) -> Column:
     """NON-distinct word n-grams (cf. ``shingles_col``, which dedups):
     repetition statistics need the multiplicity."""
@@ -958,6 +1017,80 @@ def doc_repetition(
         ).otherwise(F.lit(0.0)).alias("dup_fivegram_frac"),
     )
     return top_bg.join(dup_fg, id_col)
+
+
+def dup_ngram_coverage(
+    docs: DataFrame, n: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """CROSS-document duplicate n-gram coverage (the RedPajama-v2 /
+    Dolma "fraction of duplicated n-grams" quality signal, and the
+    cheap scalable stand-in for suffix-array substring dedup, Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): per document, the fraction of token positions covered by
+    word ``n``-grams that occur in at least two DISTINCT documents
+    corpus-wide. ``doc_repetition`` measures within-doc boilerplate;
+    this measures corpus-level copy-paste (mirrors, templates, spam
+    farms) — the docs a substring-dedup pass would trim.
+
+    Coverage is a true interval union: overlapping duplicated grams
+    ([p, p+n) windows) never double-count a token, so the fraction is
+    exactly "tokens inside some duplicated n-gram / total tokens".
+    Docs shorter than ``n`` tokens contribute one whole-doc gram
+    covering all their tokens.
+
+    Scale shape (100 TB): grams ride every exchange as
+    (60-bit portable hash, position) longs — never the gram text;
+    corpus-dup detection is ONE map-side-combinable hash aggregate
+    keyed by gram hash using min(doc)≠max(doc) ⇔ "≥ 2 distinct docs"
+    (no countDistinct buffer); membership is a left-semi equi-join on
+    the hash (uniform 60-bit key — no skew); the interval union is one
+    lead() window per doc bounded by doc length. Nothing is
+    corpus-quadratic and nothing collects to the driver."""
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        F.col(id_col),
+        F.size(words_col(F.col(text_col))).alias("n_tokens"),
+        F.posexplode(ngrams_col(F.col(text_col), n)).alias("pos", "g"),
+    ).select(
+        id_col, "n_tokens", "pos",
+        portable_hash(F.col("g"), "xdup").alias("gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
+        .select("gh")
+    )
+    nxt = F.lead("pos").over(Window.partitionBy(id_col).orderBy("pos"))
+    cov = (
+        grams.join(dup, "gh", "left_semi")
+        .withColumn("_nxt", nxt)
+        .select(
+            id_col, "n_tokens",
+            F.when(
+                F.col("_nxt").isNull(),
+                F.least(F.lit(n), F.col("n_tokens") - F.col("pos")),
+            ).otherwise(
+                F.least(F.lit(n), F.col("_nxt") - F.col("pos"))
+            ).alias("_c"),
+        )
+        .groupBy(id_col, "n_tokens")
+        .agg(F.sum("_c").alias("_cov"))
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(words_col(F.col(text_col))).alias("n_tokens"),
+        )
+        .join(cov.select(id_col, "_cov"), id_col, "left")
+        .select(
+            id_col, "n_tokens",
+            (F.coalesce(F.col("_cov"), F.lit(0)) / F.col("n_tokens"))
+            .alias("dup_ngram_frac"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1080,6 +1213,57 @@ def sample_weighted(
         survivors.withColumn("_rn", final)
         .where(F.col("_rn") <= k)
         .drop("_rn", "_key")
+    )
+
+
+def mixture_sample(
+    docs: DataFrame, targets: dict[str, float],
+    strata_col: str = "source", seed: str = "mix", id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixture resampling (downsampling-only): turn
+    a corpus whose natural domain proportions are wrong into the target
+    training mix — the Pile/ROOTS-style hand mix or a DoReMi-learned one
+    (Xie et al. 2023). Given target weights ``targets[s]`` (normalized
+    over the dict), each doc in stratum ``s`` is kept iff
+
+        u(doc_id) < r_s,   r_s = min(1, w_s · N / n_s)
+
+    where ``N`` is the corpus size, ``n_s`` the stratum size and ``u``
+    the portable md5 uniform in (0, 1) — so expected kept counts are
+    ``min(n_s, w_s·N)``: over-represented domains are thinned toward the
+    target share, under-represented ones are kept whole (upsampling is a
+    repeat-at-read concern, not a filter's). Strata absent from
+    ``targets`` get weight 0 and are dropped. The draw is a pure
+    function of (doc_id, stratum counts): stable across reruns,
+    partitionings and engines — r_s is one IEEE multiply+divide and u
+    one division, both correctly rounded, so a DuckDB oracle reproduces
+    the exact accept set (the ``sample_weighted`` precedent).
+
+    Scale shape: one tiny count-by-stratum aggregate (domain-count
+    rows), broadcast back onto the facts, then a map-side filter — no
+    extra shuffle, no window, no driver collect."""
+    total = sum(w for w in targets.values() if w > 0)
+    wmap = F.create_map(*[
+        x for s, w in sorted(targets.items())
+        for x in (F.lit(s), F.lit(w / total))
+    ])
+    counts = docs.groupBy(strata_col).agg(F.count("*").alias("_ns"))
+    n_total = docs.select(F.count("*").alias("_n"))
+    dim = F.broadcast(counts.crossJoin(n_total))
+    u = (
+        F.pmod(portable_hash(F.col(id_col).cast("string"), seed),
+               F.lit(1_000_000_000)) + F.lit(1)
+    ) / F.lit(1_000_000_001.0)
+    rate = F.least(
+        F.lit(1.0),
+        F.coalesce(wmap[F.col(strata_col)], F.lit(0.0))
+        * F.col("_n") / F.col("_ns"),
+    )
+    return (
+        docs.join(dim, strata_col)
+        .withColumn("_rate", rate)
+        .where(u < F.col("_rate"))
+        .select(id_col, strata_col, F.col("_rate").alias("accept_rate"))
     )
 
 

@@ -322,3 +322,94 @@ def test_pack_sequences_semantics(spark):
         (r["bin_id"], r["doc_id"], r["tok_off_in_doc"], r["off_in_bin"],
          r["seg_tokens"]) for r in out2
     ) == rows
+
+
+def test_unigram_logppl_semantics(spark):
+    """Hand-computable corpus: vocab cut, UNK residual mass, add-one
+    smoothing, per-doc mean of -ln p."""
+    import math
+
+    from pq_spark.textops import unigram_logppl
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b x")],
+        "doc_id long, text string",
+    )
+    # counts: a=3, b=2, c=1, x=1; N=7, vocab_k=2 -> {a:3, b:2}, V=2,
+    # c_unk = 7-5 = 2, denom = N+V+1 = 10
+    out = {r["doc_id"]: r for r in unigram_logppl(docs, vocab_k=2).collect()}
+    pa, pb, pu = 4 / 10, 3 / 10, 3 / 10
+    exp = {
+        1: (3, -(2 * math.log(pa) + math.log(pb)) / 3),
+        2: (2, -(math.log(pa) + math.log(pu)) / 2),
+        3: (2, -(math.log(pb) + math.log(pu)) / 2),
+    }
+    for d, (n, ppl) in exp.items():
+        assert out[d]["n_tokens"] == n
+        assert abs(out[d]["logppl"] - ppl) < 1e-12, d
+    # vocab cut ties break on token text: with vocab_k=3, c (not x) enters
+    out3 = {r["doc_id"]: r["logppl"] for r in
+            unigram_logppl(docs, vocab_k=3).collect()}
+    # doc2: a in vocab, c in vocab (c=1): denom = 7+3+1 = 11, c_unk = 1
+    exp2 = -(math.log(4 / 11) + math.log(2 / 11)) / 2
+    assert abs(out3[2] - exp2) < 1e-12
+
+
+def test_dup_ngram_coverage_semantics(spark):
+    """Hand-computed interval unions: overlapping dup grams never
+    double-count a token, adjacent ones tile exactly, within-doc-only
+    repeats don't qualify, short docs use the whole-doc gram."""
+    from pq_spark.textops import dup_ngram_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),            # dup grams at pos {0,1} -> 6/6
+            (2, "x a b c d e"),            # dup gram at pos {1}    -> 5/6
+            (3, "zz yy"),                  # no cross-doc dup       -> 0
+            (4, "a b c d e a b c d e"),    # pos {0,5} tile         -> 10/10
+            (6, "a b c d e f zz"),         # pos {0,1} overlap      -> 6/7
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_ngram_coverage(docs, n=5).collect()}
+    exp = {1: (6, 1.0), 2: (6, 5 / 6), 3: (2, 0.0), 4: (10, 1.0),
+           6: (7, 6 / 7)}
+    assert set(out) == set(exp)
+    for d, (n, frac) in exp.items():
+        assert out[d]["n_tokens"] == n, d
+        assert abs(out[d]["dup_ngram_frac"] - frac) < 1e-12, d
+    # whole-doc grams of short duplicate docs cover everything
+    short = spark.createDataFrame(
+        [(1, "zz yy"), (2, "zz yy")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r["dup_ngram_frac"]
+            for r in dup_ngram_coverage(short, n=5).collect()}
+    assert out2 == {1: 1.0, 2: 1.0}
+
+
+def test_mixture_sample_semantics(spark):
+    """The accept set is the exact pure function of (doc_id, stratum
+    counts): recompute u and r_s in Python and compare id-for-id."""
+    import hashlib
+
+    from pq_spark.textops import mixture_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = {"s0": 0.04, "s1": 0.06, "s2": 0.90}  # s3 absent -> dropped
+    total = 1.0
+    n, ns = 400, 100
+    rates = {s: min(1.0, (w / total) * n / ns) for s, w in targets.items()}
+
+    def u(i):
+        h = int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:15], 16)
+        return (h % 1_000_000_000 + 1) / 1_000_000_001.0
+
+    exp = {i for i, s in rows if s in rates and u(i) < rates[s]}
+    out = {r["doc_id"]: r for r in mixture_sample(docs, targets).collect()}
+    assert set(out) == exp
+    # expected thinning: s0 keeps ~16/100, s2 keeps all 100
+    kept_s2 = sum(1 for i in exp if i % 4 == 2)
+    assert kept_s2 == 100
+    for i in exp:
+        assert abs(out[i]["accept_rate"] - rates[f"s{i % 4}"]) < 1e-15

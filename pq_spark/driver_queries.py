@@ -2464,6 +2464,94 @@ WHERE ((('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
 )
 
 
+# composed Gopher-rule filter verdict (Rae et al. 2021): the pass/fail +
+# reason-bitmask table a filtering pipeline ships, composing the same
+# feature machinery as quality_score (now deferred — this row keeps the
+# quality family in the window). Integral outputs ⇒ no rounding contract;
+# thresholds compare identical IEEE integer-ratio doubles in both engines.
+register(
+    "quality_filter",
+    lambda spark, sf: textops.gopher_filter(_docs(spark, sf)),
+    f"""WITH w AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+             AS n_sym,
+         string_split({_NORM_SQL}, ' ') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, n_sym, len(w) AS n,
+         list_sum(list_transform(w, x -> length(x))) AS sum_len,
+         (list_contains(w, 'the')::INT + list_contains(w, 'a')::INT
+          + list_contains(w, 'value')::INT + list_contains(w, 'table')::INT)
+             AS req,
+         list_max(list_transform(list_distinct(w),
+                                 d -> len(list_filter(w, x -> x = d)))) AS topf
+  FROM w
+),
+r AS (
+  SELECT doc_id, n,
+         ((n < 50 OR n > 100000)::INT * 1
+          + ((CASE WHEN n > 0 THEN sum_len * 1.0 / n ELSE 0.0 END) < 3.0
+             OR (CASE WHEN n > 0 THEN sum_len * 1.0 / n ELSE 0.0 END) > 10.0
+            )::INT * 2
+          + ((CASE WHEN n_chars > 0 THEN n_sym * 1.0 / n_chars ELSE 0.0 END)
+             > 0.1)::INT * 4
+          + (req < 2)::INT * 8
+          + ((CASE WHEN n > 0 THEN topf * 1.0 / n ELSE 0.0 END)
+             > 0.125)::INT * 16) AS reasons
+  FROM m
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       CAST(reasons AS INTEGER) AS reasons, (reasons = 0) AS passed
+FROM r""",
+)
+
+
+# quality-aware survivor selection over the near-dup component graph —
+# the keep/drop table a dedup pipeline materializes (Lee et al. 2022 keep
+# one exemplar per duplicate cluster). Composes the IDENTICAL
+# near_dup_pairs graph + min-label propagation as dedup_components (now
+# deferred — this row keeps the component family in the window) and adds
+# the (max n_chars, min doc_id) survivor policy: one hash agg keyed by
+# component + one equi-join back. Oracle: the same recursive-CTE closure
+# + a per-component row_number argmax.
+register(
+    "dedup_survivors",
+    lambda spark, sf: textops.dedup_survivors(
+        _docs(spark, sf),
+        textops.near_dup_pairs(
+            _docs(spark, sf), threshold=0.3, num_hashes=_K_MINHASH,
+            bands=_BANDS, max_bucket=_MAX_BUCKET,
+        ),
+    ),
+    f"""WITH RECURSIVE
+pr AS ({{near_pairs}}),
+edges(src, dst) AS (
+  SELECT doc_a, doc_b FROM pr UNION ALL SELECT doc_b, doc_a FROM pr
+),
+reach(doc_id, anc) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+comp AS (SELECT doc_id, min(anc) AS component_id FROM reach GROUP BY doc_id),
+best AS (
+  SELECT component_id, doc_id AS survivor_id FROM (
+    SELECT c.component_id, d.doc_id,
+           row_number() OVER (PARTITION BY c.component_id
+                              ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+  ) WHERE rn = 1
+)
+SELECT c.doc_id, c.component_id, b.survivor_id,
+       (c.doc_id = b.survivor_id) AS keep
+FROM comp c JOIN best b ON b.component_id = c.component_id""".replace(
+        "{near_pairs}", ORACLES["dedup_near_pairs"]
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -2663,6 +2751,20 @@ _DEFERRED = [
                                # + both canaries; deferred to admit
                                # sample_mixture (domain-mixture
                                # resampling)
+    "text_quality",            # family: quality scoring —
+                               # quality_filter composes the same
+                               # feature expressions (word split, mean
+                               # length, symbol ratio) into the shipped
+                               # Gopher pass/fail verdict; green
+                               # r01-r05 + both canaries; deferred to
+                               # admit quality_filter
+    "dedup_components",        # family: near-dup components —
+                               # dedup_survivors composes the IDENTICAL
+                               # near_dup_pairs graph + min-label
+                               # propagation and adds the survivor
+                               # policy on top; green r04-r05 + both
+                               # canaries; deferred to admit
+                               # dedup_survivors
 ]
 
 for _n in _DEFERRED:

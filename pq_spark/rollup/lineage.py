@@ -64,8 +64,15 @@ class CommitResult:
 class TierStore:
     """Date-partitioned parquet table with lineage manifests + resume."""
 
-    def __init__(self, base_path: str):
+    def __init__(self, base_path: str, target_rows_per_file: int = 4096):
         self.base_path = base_path
+        # writer-split granularity floor: a stale partition is sharded over
+        # ceil(rows / target_rows_per_file) writer tasks, capped at the
+        # session parallelism. Big partitions (1m tier, Gorilla blocks)
+        # keep every writer core busy; small cascade tiers (1h/1d) stop
+        # paying a parallelism-way tiny-file tax. Row counts come free
+        # from the fingerprint pass, so the width is exact, not guessed.
+        self.target_rows_per_file = target_rows_per_file
 
     # -- manifest I/O --------------------------------------------------------
 
@@ -271,11 +278,18 @@ class TierStore:
             # through ONE writer task — a serialization point at any scale
             # (a 3-day corpus writes on 3 cores of a 1000-core cluster) —
             # while a raw write would emit (tasks × partitions) small
-            # files. The sub-split key caps files-per-partition at the
-            # session's parallelism and keeps all writers busy; it hashes a
+            # files. The sub-split width is derived from the EXACT row
+            # counts the fingerprint pass already computed: the busiest
+            # stale partition gets ceil(rows / target_rows_per_file)
+            # writer tasks, capped at the session's parallelism — so a
+            # 10B-row date still spreads over every writer core while a
+            # cascade tier's few-thousand-row date writes one file
+            # instead of parallelism-many tiny ones. The key hashes a
             # stable atomic column so the layout is deterministic for a
             # deterministic input.
-            k = df.sparkSession.sparkContext.defaultParallelism
+            par = df.sparkSession.sparkContext.defaultParallelism
+            max_rows = max(int(fps[p]["rows"]) for p in stale)
+            k = max(1, min(par, -(-max_rows // self.target_rows_per_file)))
             atomic = [
                 f.name for f in out.schema.fields
                 if f.name != part_col
@@ -292,9 +306,11 @@ class TierStore:
             (
                 # explicit numPartitions: AQE coalesces column-only
                 # repartitions back down (small-in-bytes tier outputs
-                # collapse to ~1 writer task); an explicit count pins k
-                # write tasks regardless of byte-size heuristics
-                out.repartition(k, F.col(part_col), split)
+                # collapse to ~1 writer task); an explicit count pins the
+                # write tasks regardless of byte-size heuristics. k per
+                # stale partition, so k=1 still writes each date from its
+                # own task rather than funneling all dates through one.
+                out.repartition(k * len(stale), F.col(part_col), split)
                 .write.mode("error")
                 .partitionBy(part_col)
                 .parquet(os.path.join(result.table_path, data_rel))

@@ -260,6 +260,52 @@ def dedup_components(
     return out
 
 
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware survivor selection over near-dup components — the
+    keep/drop table a dedup pipeline actually materializes (the reference
+    has no dedup surface; this extends the corpus-ops family; policy
+    follows common practice, e.g. Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better", which keeps one exemplar per
+    duplicate cluster).
+
+    Unlike :func:`dedup_components`' min-id keeper, the survivor is the
+    highest-quality member (max ``quality_col``, ties broken by min doc
+    id) — the policy that retains the longest/cleanest exemplar of each
+    duplicate cluster. Shape at scale: the component labels come from the
+    iterative propagation (shuffles keyed by doc id), then one hash
+    aggregation keyed by component id picks the survivor (max over an
+    invertible ``(quality, -id)`` struct — no window over the full
+    corpus), and one equi-join keyed by component id broadcasts the
+    verdict back. Components are duplicate clusters — tiny and numerous —
+    so the agg and join shuffle well with no skew.
+
+    Output: (doc_id, component_id, survivor_id, keep) for EVERY doc;
+    singletons survive trivially."""
+    comp = dedup_components(docs, pairs, id_col=id_col)
+    labeled = comp.join(docs.select(id_col, quality_col), id_col)
+    best = (
+        labeled.groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(quality_col).alias("_q"),
+                    (-F.col(id_col)).alias("_negid"),
+                )
+            ).alias("_b")
+        )
+        .select("component_id", (-F.col("_b._negid")).alias("survivor_id"))
+    )
+    return labeled.join(best, "component_id").select(
+        F.col(id_col),
+        "component_id",
+        "survivor_id",
+        (F.col(id_col) == F.col("survivor_id")).alias("keep"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
@@ -795,6 +841,82 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(sw_ratio, 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality"),
+    )
+
+
+#: Gopher-style "required words" — a document must contain at least
+#: ``min_required`` distinct members to pass (Rae et al. 2021 use 2 of
+#: {the, be, to, of, and, that, have, with}; the set here is calibrated to
+#: the synthetic corpus vocabulary so the rule discriminates at test scale).
+GOPHER_REQUIRED_WORDS = ("the", "a", "value", "table")
+
+
+def gopher_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_words: int = 50, max_words: int = 100_000,
+    min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    required_words: tuple[str, ...] = GOPHER_REQUIRED_WORDS,
+    min_required: int = 2, max_top_frac: float = 0.125,
+) -> DataFrame:
+    """Composed Gopher-rule quality filter (Rae et al. 2021 §A1.1): the
+    single pass/fail verdict + reason bitmask a filtering pipeline
+    materializes, rather than the raw feature columns
+    (:func:`quality_score`). The reference has no quality surface; this
+    extends the corpus-ops family.
+
+    Reason bits (set ⇒ rule VIOLATED):
+      1  word count outside [min_words, max_words]
+      2  mean word length outside [min_mean_len, max_mean_len]
+      4  symbol-to-char ratio > max_symbol_ratio (non-alnum, non-space)
+      8  fewer than min_required distinct required words present
+      16 most-frequent-word fraction > max_top_frac (repetition proxy for
+         Gopher's duplicate-n-gram rules; cross-doc coverage is the
+         separate dup_ngram_coverage op)
+
+    Everything is a per-row column expression — zero shuffles, zero
+    Python; the top-word count is an O(v·n) higher-order-function scan
+    over the ≤ a-few-hundred-word arrays, still JVM-side. All output
+    columns are integral (id, count, bitmask, bool), so the oracle
+    comparison needs no rounding contract: thresholds compare exact
+    integer-ratio doubles that IEEE divides identically in both engines."""
+    t = F.col(text_col)
+    w = words_col(t)
+    n = F.size(w)
+    sum_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = F.when(n > 0, sum_len.cast("double") / n).otherwise(0.0)
+    n_chars = F.length(t)
+    n_alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))
+    sym_ratio = F.when(
+        n_chars > 0, (n_chars - n_alnum).cast("double") / n_chars
+    ).otherwise(0.0)
+    req = sum(
+        F.array_contains(w, x).cast("int") for x in required_words
+    )
+    top_frac = F.when(
+        n > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(w),
+                lambda d: F.size(F.filter(w, lambda x: x == d)),
+            )
+        ).cast("double")
+        / n,
+    ).otherwise(0.0)
+    reasons = (
+        ((n < min_words) | (n > max_words)).cast("int") * 1
+        + ((mean_len < min_mean_len) | (mean_len > max_mean_len)).cast("int") * 2
+        + (sym_ratio > max_symbol_ratio).cast("int") * 4
+        + (req < min_required).cast("int") * 8
+        + (top_frac > max_top_frac).cast("int") * 16
+    )
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        reasons.cast("int").alias("reasons"),
+        (reasons == 0).alias("passed"),
     )
 
 

@@ -162,6 +162,7 @@ PIPELINE_OPS = [
     "pq_histogram_quantile",
     "sample_weighted",
     "seq_pack",
+    "quality_filter",
 ]
 
 
@@ -203,6 +204,14 @@ def test_pipeline_ops_plan_shapes(spark, name):
             if "windowspecdefinition(" in l and "sum(" in l and "_pid" not in l
         ]
         assert not bad, "global running-sum window\n" + "\n".join(bad)
+    if name == "quality_filter":
+        # the Gopher verdict must stay a pure per-row projection: a
+        # hash-partitioned exchange would mean a feature (e.g. the
+        # top-word count) leaked into an aggregation. The only allowed
+        # exchange is _docs' round-robin input split.
+        assert "hashpartitioning" not in plan, (
+            f"quality_filter must not shuffle on any key\n{plan}"
+        )
     if name == "text_repetition":
         # round-4 verdict item 4: the raw gram string must not ride an
         # exchange — aggregates key on the 60-bit portable hash

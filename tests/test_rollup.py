@@ -630,7 +630,9 @@ def test_commit_write_parallelism(spark, tmp_path, samples):
     size."""
     import glob
 
-    store = TierStore(str(tmp_path))
+    # target_rows_per_file=1 stands in for a partition far bigger than the
+    # granularity floor (the fixture is tiny): every date must shard
+    store = TierStore(str(tmp_path / "wide"), target_rows_per_file=1)
     tier = with_date(rollup_tier(samples, "1m"))
     r = store.commit(tier, "tier_1m")
     assert r.written
@@ -640,9 +642,19 @@ def test_commit_write_parallelism(spark, tmp_path, samples):
     }
     busiest = max(rows_per_date, key=rows_per_date.get)
     files = glob.glob(
-        str(tmp_path / "tier_1m" / "data" / "*" / f"date={busiest}" / "*.parquet")
+        str(tmp_path / "wide" / "tier_1m" / "data" / "*" / f"date={busiest}" / "*.parquet")
     )
     # local[4] fixture → up to 4 sub-splits; the busiest date must use >1
     assert len(files) > 1, files
     # and the sub-split must not break round-trip reads
     assert store.read(spark, "tier_1m").count() == tier.count()
+
+    # conversely, a partition under the granularity floor must write ONE
+    # file — the split width is row-derived, so small cascade tiers don't
+    # pay a parallelism-way tiny-file tax
+    narrow = TierStore(str(tmp_path / "narrow"), target_rows_per_file=10**9)
+    narrow.commit(tier, "tier_1m")
+    files1 = glob.glob(
+        str(tmp_path / "narrow" / "tier_1m" / "data" / "*" / f"date={busiest}" / "*.parquet")
+    )
+    assert len(files1) == 1, files1

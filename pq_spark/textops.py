@@ -875,8 +875,9 @@ def gopher_filter(
          separate dup_ngram_coverage op)
 
     Everything is a per-row column expression — zero shuffles, zero
-    Python; the top-word count is an O(v·n) higher-order-function scan
-    over the ≤ a-few-hundred-word arrays, still JVM-side. All output
+    Python; the top-word count is an O(n log n) sort + single-pass
+    max-run-length fold (NOT the naive O(distinct·n) nested scan, which
+    goes quadratic on a 10k-word web document), all JVM-side. All output
     columns are integral (id, count, bitmask, bool), so the oracle
     comparison needs no rounding contract: thresholds compare exact
     integer-ratio doubles that IEEE divides identically in both engines."""
@@ -895,16 +896,32 @@ def gopher_filter(
     req = sum(
         F.array_contains(w, x).cast("int") for x in required_words
     )
-    top_frac = F.when(
-        n > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(w),
-                lambda d: F.size(F.filter(w, lambda x: x == d)),
-            )
-        ).cast("double")
-        / n,
-    ).otherwise(0.0)
+    # max word frequency = longest equal-run in the sorted word array:
+    # one array_sort + one linear fold, vs the naive
+    # array_distinct×filter scan that is O(distinct·n) per document.
+    # The run counter restarts at 1 on every boundary; `best` carries the
+    # max. prev==NULL (first element) compares to false under the
+    # isNotNull guard, so the first word correctly starts a run of 1.
+    _is_run = lambda acc, x: acc["prev"].isNotNull() & (x == acc["prev"])
+    top_count = F.aggregate(
+        F.array_sort(w),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(_is_run(acc, x), acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(_is_run(acc, x), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_frac = F.when(n > 0, top_count.cast("double") / n).otherwise(0.0)
     reasons = (
         ((n < min_words) | (n > max_words)).cast("int") * 1
         + ((mean_len < min_mean_len) | (mean_len > max_mean_len)).cast("int") * 2

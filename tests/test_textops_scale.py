@@ -228,6 +228,55 @@ def test_dedup_components_chain_and_clusters(spark):
         assert got[i] == (i, True)
 
 
+def test_dedup_survivors_argmax_policy(spark):
+    """Survivor = max quality within the component, ties broken by MIN
+    doc id; every doc appears exactly once; singletons keep themselves.
+    Model-checked against a hand-run union-find over the same graph."""
+    from pq_spark.textops import dedup_survivors
+
+    docs = spark.createDataFrame(
+        # (doc_id, n_chars): chain {0..6} peaks at doc 3; triangle
+        # {20,21,22} ties at 9 → survivor 20; singleton 29
+        [(0, 5), (1, 7), (2, 7), (3, 11), (4, 2), (5, 11), (6, 1),
+         (20, 9), (21, 9), (22, 4), (29, 3)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: (r["component_id"], r["survivor_id"], r["keep"])
+           for r in dedup_survivors(docs, pairs).collect()}
+    assert len(got) == 11
+    for i in range(7):  # max quality 11 held by {3, 5} → min id 3 wins
+        assert got[i] == (0, 3, i == 3)
+    for i in (20, 21, 22):  # tie at 9 between {20, 21} → min id 20
+        assert got[i] == (20, 20, i == 20)
+    assert got[29] == (29, 29, True)
+
+
+def test_gopher_filter_reason_bits(spark):
+    """Each Gopher rule trips exactly its own bit; the top-word run-length
+    fold must equal the true max word frequency (regression for the
+    sorted-fold rewrite of the O(distinct*n) scan)."""
+    from pq_spark.textops import gopher_filter
+
+    base = "the a value table " + " ".join(f"word{i:03d}" for i in range(60))
+    rows = [
+        (1, base),                                   # passes everything
+        (2, "the a value table short doc"),          # bit 1: too few words
+        (3, " ".join(["spam"] * 60) + " the a value table"),  # bit 16
+        (4, base.replace("the a value table", "zz qq jj kk")),  # bit 8
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["reasons"], r["passed"])
+           for r in gopher_filter(docs).collect()}
+    assert got[1] == (0, True)
+    assert got[2][0] & 1 and not got[2][1]
+    assert got[3][0] & 16 and not got[3][1]
+    assert got[4][0] & 8 and not got[4][1]
+
+
 def test_chunk_docs_semantics(spark):
     from pq_spark.textops import chunk_docs
 

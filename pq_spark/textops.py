@@ -715,6 +715,51 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_survivors(
+    embeddings: DataFrame, threshold: float = 0.9, num_planes: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64,
+    bucket_hamming: int = 1, max_bucket: int | None = None,
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Semantic deduplication with survivor selection — the SemDeDup
+    policy (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): embeddings whose cosine
+    similarity exceeds ``threshold`` are one semantic duplicate cluster;
+    exactly one exemplar per cluster survives. This is the composed
+    keep/drop table for the VECTOR side of the dedup family, mirroring
+    what :func:`dedup_survivors` does for text.
+
+    Composition (every stage already individually scale-audited):
+    :func:`embedding_near_dup_pairs` builds the pair graph (hyperplane-LSH
+    blocking stands in for SemDeDup's k-means blocking — both bound the
+    candidate sets; LSH keeps the semantics blocking-independent and
+    SQL-restatable), min-label propagation resolves clusters, and the
+    survivor is the max-``quality_col`` member (ties → min id), or the
+    min-id exemplar when no quality column is given — the paper keeps one
+    representative per cluster; which one is policy.
+
+    Scale shape: inherits the pieces' guarantees — banded equi-joins with
+    bucket caps (never vectors²), iterative shuffles keyed by id, one
+    hash aggregation per cluster. Nothing new is materialized beyond the
+    pair graph."""
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold=threshold, num_planes=num_planes,
+        vec_col=vec_col, id_col=id_col, dim=dim,
+        bucket_hamming=bucket_hamming, max_bucket=max_bucket,
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    if quality_col is None:
+        docs = embeddings.select(
+            F.col(id_col).alias("doc_id"), F.lit(0).alias("_q")
+        )
+    else:
+        docs = embeddings.select(
+            F.col(id_col).alias("doc_id"), F.col(quality_col).alias("_q")
+        )
+    return dedup_survivors(docs, pairs, id_col="doc_id", quality_col="_q").select(
+        F.col("doc_id").alias(id_col), "component_id", "survivor_id", "keep"
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

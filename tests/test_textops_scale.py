@@ -255,6 +255,33 @@ def test_dedup_survivors_argmax_policy(spark):
     assert got[29] == (29, 29, True)
 
 
+def test_semantic_dedup_survivors(spark):
+    """Two exact-duplicate embedding clusters + one singleton: each
+    cluster keeps exactly one exemplar (max quality, tie min id); the
+    singleton survives. Exact duplicates share every LSH bucket, so
+    blocking recall is deterministic."""
+    from pq_spark.textops import semantic_dedup_survivors
+
+    u = [1.0] + [0.0] * 63
+    v = [0.0] * 32 + [1.0] + [0.0] * 31
+    w = [(1.0 if i % 2 else -1.0) / 8.0 for i in range(64)]
+    rows = [(0, u, 5), (1, u, 9), (2, u, 9),   # cluster: max q=9 → id 1
+            (10, v, 1), (11, v, 1),            # cluster: tie → id 10
+            (20, w, 7)]                        # singleton
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, q long"
+    )
+    got = {r["vec_id"]: (r["survivor_id"], r["keep"])
+           for r in semantic_dedup_survivors(
+               emb, threshold=0.999, quality_col="q").collect()}
+    assert len(got) == 6
+    for i in (0, 1, 2):
+        assert got[i] == (1, i == 1)
+    for i in (10, 11):
+        assert got[i] == (10, i == 10)
+    assert got[20] == (20, True)
+
+
 def test_gopher_filter_reason_bits(spark):
     """Each Gopher rule trips exactly its own bit; the top-word run-length
     fold must equal the true max word frequency (regression for the

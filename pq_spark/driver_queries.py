@@ -2552,6 +2552,49 @@ FROM comp c JOIN best b ON b.component_id = c.component_id""".replace(
 )
 
 
+# semantic dedup with survivor selection (SemDeDup, Abbas et al. 2023) —
+# the VECTOR-side keep/drop table: embedding pairs above the cosine
+# threshold form semantic clusters; one exemplar per cluster survives
+# (max `label` as the quality stand-in, ties → min vec_id — a
+# non-degenerate argmax, unlike the min-id default where survivor ==
+# component label). Blocking is the hyperplane-LSH hamming<=1 probe join
+# (blocking-INDEPENDENT semantics, so the oracle restates them as a plain
+# bit_count join condition); the closure + argmax ride the same
+# recursive-CTE shape as dedup_survivors. threshold 0.35 is the
+# demonstration value the synthetic embeddings need (no true near-dups
+# exist; real corpora use ~0.9).
+register(
+    "dedup_semantic",
+    lambda spark, sf: textops.semantic_dedup_survivors(
+        _emb(spark, sf), threshold=0.35, num_planes=8, quality_col="label"
+    ),
+    f"""WITH RECURSIVE
+pr AS ({{emb_pairs}}),
+edges(src, dst) AS (
+  SELECT vec_a, vec_b FROM pr UNION ALL SELECT vec_b, vec_a FROM pr
+),
+reach(vec_id, anc) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.vec_id
+),
+comp AS (SELECT vec_id, min(anc) AS component_id FROM reach GROUP BY vec_id),
+best AS (
+  SELECT component_id, vec_id AS survivor_id FROM (
+    SELECT c.component_id, m.vec_id,
+           row_number() OVER (PARTITION BY c.component_id
+                              ORDER BY m.label DESC, m.vec_id ASC) AS rn
+    FROM comp c JOIN embeddings m ON m.vec_id = c.vec_id
+  ) WHERE rn = 1
+)
+SELECT c.vec_id, c.component_id, b.survivor_id,
+       (c.vec_id = b.survivor_id) AS keep
+FROM comp c JOIN best b ON b.component_id = c.component_id""".replace(
+        "{emb_pairs}", ORACLES["dedup_embedding_pairs"]
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -2765,6 +2808,16 @@ _DEFERRED = [
                                # policy on top; green r04-r05 + both
                                # canaries; deferred to admit
                                # dedup_survivors
+    # round-6 third rotation: one redundant green sibling deferred to admit
+    # the SemDeDup vector-side keep/drop row (dedup_semantic)
+    "shard_stats",             # family: deterministic layout/balance —
+                               # the xxhash-pmod id-hash machinery stays
+                               # in-window via sample_mixture and
+                               # pq_limit_ratio (both hash-deterministic
+                               # selections) and the single grouped agg
+                               # shape via every tier/sum row; green
+                               # r04-r05 + both canaries; deferred to
+                               # admit dedup_semantic
 ]
 
 for _n in _DEFERRED:

@@ -935,9 +935,16 @@ def _emb_near_dup(spark, sf):
     )
 
 
-def _emb_near_dup_sql() -> str:
+def _emb_near_dup_sql(max_bucket: int | None = None) -> str:
     """Blocking-independent statement of the operator's semantics: pairs
-    whose LSH buckets differ by <= 1 bit AND cosine >= threshold."""
+    whose LSH buckets differ by <= 1 bit AND cosine >= threshold.
+
+    ``max_bucket`` restates the hot-bucket cap (rows in over-full LSH
+    buckets take part in no pair) — the cap is part of the operator's
+    declared semantics, so the oracle must state it too. It never binds
+    at test scale (max observed bucket: 8 @ sf0.01, 22 @ sf0.1, 249 @
+    sf1 vs cap 1024), so capped and uncapped agree on all fixtures; at
+    corpus scale it bounds the equi-join's largest key group."""
     planes = []
     for p in range(8):
         comps = [
@@ -951,13 +958,19 @@ def _emb_near_dup_sql() -> str:
         f"t -> t[1] * t[2])) >= 0 THEN {1 << p} ELSE 0 END)"
         for p, pl in enumerate(planes)
     )
+    cap = ""
+    if max_bucket is not None:
+        cap = f"""
+sz AS (SELECT bucket AS _cb, count(*) AS _n FROM b GROUP BY bucket),
+b2 AS (SELECT b.* FROM b JOIN sz ON b.bucket = sz._cb WHERE sz._n <= {max_bucket}),"""
+    src = "b2" if max_bucket is not None else "b"
     return f"""WITH b AS (
   SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
-),
+),{cap}
 cand AS (
   SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
          a.embedding AS ea, c.embedding AS eb
-  FROM b a JOIN b c ON a.vec_id < c.vec_id
+  FROM {src} a JOIN {src} c ON a.vec_id < c.vec_id
                     AND bit_count(xor(a.bucket, c.bucket)) <= 1
 ),
 d AS (
@@ -2566,7 +2579,8 @@ FROM comp c JOIN best b ON b.component_id = c.component_id""".replace(
 register(
     "dedup_semantic",
     lambda spark, sf: textops.semantic_dedup_survivors(
-        _emb(spark, sf), threshold=0.35, num_planes=8, quality_col="label"
+        _emb(spark, sf), threshold=0.35, num_planes=8, quality_col="label",
+        max_bucket=1024,
     ),
     f"""WITH RECURSIVE
 pr AS ({{emb_pairs}}),
@@ -2590,7 +2604,7 @@ best AS (
 SELECT c.vec_id, c.component_id, b.survivor_id,
        (c.vec_id = b.survivor_id) AS keep
 FROM comp c JOIN best b ON b.component_id = c.component_id""".replace(
-        "{emb_pairs}", ORACLES["dedup_embedding_pairs"]
+        "{emb_pairs}", _emb_near_dup_sql(max_bucket=1024)
     ),
 )
 

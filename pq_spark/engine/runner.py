@@ -26,6 +26,13 @@ ENGINE_CONFS = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    # plan STRINGS (explain/progress/error rendering) must never be a
+    # driver-heap hazard: an iterative operator whose plan grows
+    # super-linearly once OOMed inside QueryExecution.explainString at
+    # sf1. Iterative code truncates lineage (textops.dedup_components);
+    # this bounds the blast radius of any future plan-growth bug to a
+    # truncated string instead of a dead driver.
+    "spark.sql.maxPlanStringLength": str(8 * 1024 * 1024),
 }
 
 

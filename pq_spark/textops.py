@@ -178,7 +178,8 @@ def near_dup_pairs(
 
 def dedup_components(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-    max_iters: int = 30,
+    max_iters: int = 30, checkpoint_every: int = 3,
+    plan_probe=None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → one canonical
     keeper per duplicate cluster (the min doc id), the step that turns
@@ -200,6 +201,27 @@ def dedup_components(
     write the result to a sink promptly (localCheckpoint stores on
     executors, the standard trade-off for truncating iterative lineage).
 
+    LOGICAL-PLAN growth is handled separately from data caching: persist
+    caches rows but leaves the plan intact, and each round's plan
+    references the previous round's TWICE (join left side + neighbor
+    agg) plus a fresh copy of the whole ``pairs`` subtree — i.e. it
+    doubles per round, and for LSH-derived pair graphs the plan string
+    alone OOMed the driver at sf1. Two cuts keep the plan O(1): the edge
+    relation is eagerly ``localCheckpoint``-ed before the loop (every
+    round sees a leaf ``LogicalRDD``, not the LSH plan) and the labels
+    are re-anchored the same way every ``checkpoint_every`` rounds.
+    Measured growth is ~4x per round (each round references the previous
+    twice AND every persisted round prints as an InMemoryRelation carrying
+    its full cached child subtree), so the bound is ``~4**checkpoint_every``
+    leaf-sized subtrees regardless of graph diameter — ~60 KB of plan
+    string at the default 3 (measured on a diameter-25 path graph;
+    tests/test_textops_scale.py pins it).
+
+    ``plan_probe``, when given, is called once per round with the
+    about-to-be-counted labels DataFrame — a diagnostic seam that lets
+    tests pin the bounded-plan property (tests/test_textops_scale.py)
+    without reaching into the loop.
+
     Output: (doc_id, component_id, is_keeper) for EVERY doc — singletons
     are their own keeper."""
     edges = (
@@ -207,12 +229,17 @@ def dedup_components(
         .unionByName(
             pairs.select(F.col("doc_b").alias("_src"), F.col("doc_a").alias("_dst"))
         )
-        .persist()
+        # eager localCheckpoint, NOT persist: persist caches rows but does
+        # not truncate the plan, and every loop round embeds a fresh copy
+        # of this subtree — for LSH-derived pair graphs the untruncated
+        # plan string alone OOMed the driver at sf1. The checkpoint makes
+        # each round see a leaf LogicalRDD instead.
+        .localCheckpoint(eager=True)
     )
     labels = docs.select(F.col(id_col), F.col(id_col).alias("_comp")).persist()
     cached = labels  # the persisted relation backing `labels`
     converged = False
-    for _ in range(max_iters):
+    for _round in range(max_iters):
         neigh = (
             edges.join(
                 labels.select(F.col(id_col).alias("_src"), "_comp"), "_src"
@@ -232,6 +259,8 @@ def dedup_components(
             )
             .persist()
         )
+        if plan_probe is not None:
+            plan_probe(new)
         # the convergence count MATERIALIZES new's cache; `labels` stays a
         # projection over that live cache (unpersisting it here would force
         # every later round to replay the whole join chain from round 0)
@@ -242,7 +271,19 @@ def dedup_components(
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
+        if (_round + 1) % checkpoint_every == 0:
+            # plan truncation: each round's plan references the previous
+            # round TWICE (join left side + neighbor agg) and persisted
+            # rounds print with their full cached subtree — ~4x growth per
+            # round; re-anchoring the labels on a leaf LogicalRDD every
+            # few rounds bounds the plan at ~4**checkpoint_every small
+            # subtrees regardless of graph diameter. The rows are already
+            # materialized (the count above), so this is a cache-to-cache
+            # copy, not a recompute.
+            anchored = labels.localCheckpoint(eager=True)
+            cached.unpersist()
+            cached = anchored
+            labels = anchored
     if not converged:
         # a wrong answer would silently violate the oracle contract; a
         # component's diameter exceeding max_iters must fail loudly
@@ -1427,8 +1468,16 @@ def mixture_sample(
     rows), broadcast back onto the facts, then a map-side filter — no
     extra shuffle, no window, no driver collect."""
     total = sum(w for w in targets.values() if w > 0)
+    if total <= 0:
+        raise ValueError(
+            "mixture_sample needs at least one positive target weight; "
+            f"got {targets!r}"
+        )
+    # non-positive weights mean "drop this stratum" — identical to a
+    # stratum absent from `targets` (weight-0 coalesce below), so they
+    # must not reach the map with a negative normalized value
     wmap = F.create_map(*[
-        x for s, w in sorted(targets.items())
+        x for s, w in sorted(targets.items()) if w > 0
         for x in (F.lit(s), F.lit(w / total))
     ])
     counts = docs.groupBy(strata_col).agg(F.count("*").alias("_ns"))

@@ -228,6 +228,44 @@ def test_dedup_components_chain_and_clusters(spark):
         assert got[i] == (i, True)
 
 
+def test_dedup_components_bounded_plan_on_deep_graph(spark):
+    """Round-6 sf1 regression (JVM heap OOM inside explainString): each
+    propagation round's logical plan referenced the previous round's TWICE
+    plus a fresh copy of the whole pair-graph subtree — exponential plan
+    growth that only shows past ~diameter-5 graphs, which nothing
+    exercised. A diameter-25 path graph forces ~25 rounds; the per-round
+    probe pins that the optimized-plan STRING stays bounded and flat-ish
+    across rounds (the checkpoint_every re-anchor resets it), not 2**25.
+    On the pre-fix code this test does not merely assert-fail — plan
+    construction itself blows up — so keep it late-diameter but small-row.
+    """
+    from pq_spark.textops import dedup_components
+
+    n = 26  # path 0-1-...-25 → diameter 25, ~25 propagation rounds
+    docs = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    lens = []
+
+    def probe(df):
+        lens.append(len(df._jdf.queryExecution().optimizedPlan().toString()))
+
+    got = {r["doc_id"]: r["component_id"]
+           for r in dedup_components(docs, pairs, plan_probe=probe).collect()}
+    assert got == {i: 0 for i in range(n)}, "chain must collapse to one component"
+    assert len(lens) >= 20, f"expected ~25 rounds, probe saw {len(lens)}"
+    # bounded: every round's optimized plan fits in a screenful-scale
+    # string. The broken code's round-20 plan had ~2**20 subtree copies.
+    assert max(lens) < 120_000, f"plan grew unbounded: max {max(lens)}"
+    # flat-ish: the post-re-anchor rounds repeat the same envelope — the
+    # last checkpoint span's peak must not exceed the first span's peak
+    # by more than 2x (they are the same shape over same-sized leaves).
+    first_peak = max(lens[:5])
+    last_peak = max(lens[-5:])
+    assert last_peak <= 2 * first_peak, (lens[:5], lens[-5:])
+
+
 def test_dedup_survivors_argmax_policy(spark):
     """Survivor = max quality within the component, ties broken by MIN
     doc id; every doc appears exactly once; singletons keep themselves.

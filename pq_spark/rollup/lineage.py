@@ -59,6 +59,9 @@ class CommitResult:
     written: list[str] = field(default_factory=list)
     skipped: list[str] = field(default_factory=list)
     metrics: dict = field(default_factory=dict)
+    # staged manifest/snapshot writes of a publish=False commit, applied
+    # by TierStore.finalize_commit once the caller's invariants have held
+    pending: dict | None = None
 
 
 class TierStore:
@@ -244,8 +247,19 @@ class TierStore:
         table: str,
         part_col: str = "date",
         stage_metrics: dict | None = None,
+        publish: bool = True,
     ) -> CommitResult:
-        """Write only partitions whose input fingerprint changed."""
+        """Write only partitions whose input fingerprint changed.
+
+        ``publish=False`` performs ONLY the data write: manifests and the
+        snapshot/CURRENT swap are staged on the returned result and applied
+        by :meth:`finalize_commit`. Because data files live under a fresh
+        commit-id directory that nothing references until the manifests
+        land, an abort between the halves is invisible to readers (CURRENT
+        still points at the previous snapshot) and to reruns (staleness is
+        re-derived from the OLD manifests) — the mechanism that lets a
+        caller run a data-quality invariant AFTER the heavy write but
+        BEFORE anything becomes visible."""
         t0 = time.time()
         # the engine's session confs (ANSI off, UTC, AQE) must hold for the
         # fingerprint/write jobs even on a default (ANSI-on) session
@@ -259,6 +273,7 @@ class TierStore:
         result = CommitResult(table_path=os.path.join(self.base_path, table))
 
         stale = []
+        staged_manifests: list[tuple[str, dict]] = []
         for part, fp in sorted(fps.items()):
             m = self.read_manifest(table, str(part))
             if m and m.get("fingerprint") == fp and m.get("schema_version") == SCHEMA_VERSION:
@@ -317,20 +332,17 @@ class TierStore:
             )
 
             for part in stale:
-                self._write_manifest(
-                    table,
-                    str(part),
-                    {
-                        "partition": str(part),
-                        "fingerprint": fps[part],
-                        "schema_version": SCHEMA_VERSION,
-                        "data_path": os.path.join(
-                            data_rel, f"{part_col}={part}"
-                        ),
-                        "written_at": time.time(),
-                        "metrics": stage_metrics or {},
-                    },
-                )
+                entry = {
+                    "partition": str(part),
+                    "fingerprint": fps[part],
+                    "schema_version": SCHEMA_VERSION,
+                    "data_path": os.path.join(
+                        data_rel, f"{part_col}={part}"
+                    ),
+                    "written_at": time.time(),
+                    "metrics": stage_metrics or {},
+                }
+                staged_manifests.append((str(part), entry))
                 result.written.append(str(part))
 
         df.unpersist()
@@ -342,19 +354,44 @@ class TierStore:
             "elapsed_s": round(time.time() - t0, 3),
             **(stage_metrics or {}),
         }
-        self._append_snapshot(
-            table,
-            {
-                "ts": time.time(),
-                "written": result.written,
-                "skipped": result.skipped,
-                "metrics": result.metrics,
-            },
-        )
+        snap_entry = {
+            "ts": time.time(),
+            "written": result.written,
+            "skipped": result.skipped,
+            "metrics": result.metrics,
+        }
+        if not publish:
+            result.pending = {
+                "table": table,
+                "manifests": staged_manifests,
+                "snapshot": snap_entry,
+            }
+            return result
+        for part, entry in staged_manifests:
+            self._write_manifest(table, part, entry)
+        self._append_snapshot(table, snap_entry)
         result.metrics["snapshot_id"] = self._publish_snapshot(table)
         result.metrics["snapshot_converged"] = bool(
             getattr(self, "last_publish_converged", True)
         )
+        return result
+
+    def finalize_commit(self, result: CommitResult) -> CommitResult:
+        """Second half of a ``publish=False`` commit: write the staged
+        manifests, append the snapshot-log entry and swap CURRENT. Until
+        this runs, nothing the first half wrote is visible to readers or
+        to a rerun's staleness scan."""
+        if result.pending is None:
+            return result  # already published (publish=True commit)
+        table = result.pending["table"]
+        for part, entry in result.pending["manifests"]:
+            self._write_manifest(table, part, entry)
+        self._append_snapshot(table, result.pending["snapshot"])
+        result.metrics["snapshot_id"] = self._publish_snapshot(table)
+        result.metrics["snapshot_converged"] = bool(
+            getattr(self, "last_publish_converged", True)
+        )
+        result.pending = None
         return result
 
     def read(self, spark, table: str, snapshot_id: int | None = None) -> DataFrame:

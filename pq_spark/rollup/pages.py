@@ -118,14 +118,29 @@ def extract_text_udf():
     return _extract
 
 
-def _page_enriched(pages: DataFrame) -> DataFrame:
-    return pages.select(
+def _page_enriched(pages: DataFrame, verify: bool = False) -> DataFrame:
+    """Narrow per-page projection feeding samples and the series dim.
+
+    ``verify=True`` additionally computes ``_bad`` — the byte-identity
+    extraction-invariant flag — in the SAME pass: the scan already decodes
+    the heavy ``html`` column for ``content_len``, so the invariant rides
+    along instead of forcing a second full read of the page table
+    (pipeline.run_pipeline persists this projection, pays the Arrow UDF
+    once, and checks ``sum(_bad)`` as a cache hit before publishing)."""
+    cols = [
         F.unix_millis("warc_ts").alias("_ts"),
         F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("domain"),
         "lang",
         F.length("text").cast("double").alias("text_len"),
         F.length("html").cast("double").alias("content_len"),
-    ).withColumn("_ts2", F.col("_ts"))
+    ]
+    if verify:
+        cols.append(
+            (~extract_text_udf()(F.col("html")).eqNullSafe(F.col("text")))
+            .cast("long")
+            .alias("_bad")
+        )
+    return pages.select(*cols).withColumn("_ts2", F.col("_ts"))
 
 
 _PAGE_TABLE_ARGS = dict(
@@ -150,11 +165,18 @@ def page_series_dim(pages: DataFrame) -> DataFrame:
     (one narrow aggregate over page rows; equals
     ``series_dim(page_samples(pages))`` by the ``series_dim_for_table``
     contract — pinned in tests/test_rollup.py)."""
+    return page_series_dim_from_enriched(_page_enriched(pages))
+
+
+def page_series_dim_from_enriched(enriched: DataFrame) -> DataFrame:
+    """Same dim, built from an already-enriched (possibly persisted)
+    projection so the pipeline's fused-verify cache is reused instead of
+    re-scanning the page table."""
     from ..engine.ingest import series_dim_for_table
     from .tiers import series_dim_from_labelspace
 
     return series_dim_from_labelspace(
-        series_dim_for_table(_page_enriched(pages), **_PAGE_TABLE_ARGS)
+        series_dim_for_table(enriched, **_PAGE_TABLE_ARGS)
     )
 
 

@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import gorilla
 from .lineage import TierStore, with_date
-from .pages import extract_text_udf, page_samples
+from .pages import (
+    _PAGE_TABLE_ARGS,
+    _page_enriched,
+    extract_text_udf,
+    page_samples,  # noqa: F401 — public seam, used by tests/benchmarks
+    page_series_dim_from_enriched,
+)
 from .tiers import TIER_MS, attach_series, tier_from_tier, tier_partials
 
 
@@ -59,34 +65,23 @@ def run_pipeline(
     if cache_pages:
         pages = pages.persist()
 
-    verify_future = None
-    if check_extraction:
-        # run the per-row invariant check CONCURRENTLY with the 1m rollup
-        # (Spark schedules jobs from multiple threads; the check is
-        # UDF-bound, the rollup shuffle-bound, so they overlap instead of
-        # serializing two scans). The future is joined — and a violation
-        # raised — before the 1h tier commits, so no tier beyond 1m is ever
-        # built on bad data and the job can never report success.
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _timed_verify():
-            t0 = time.time()
-            return verify_extraction(pages), time.time() - t0
-
-        _verify_pool = ThreadPoolExecutor(max_workers=1)
-        verify_future = _verify_pool.submit(_timed_verify)
-        _verify_pool.shutdown(wait=False)
-
     # star schema: the NARROW fact (sig, ts, seq, value) feeds both the tier
     # cascade and the Gorilla packer — label maps live in the tiny series
     # dim. Only the fact is cached; at cluster scale it'd be a checkpointed
     # table.
     from pyspark.sql import functions as _F
 
+    from ..engine.ingest import samples_from_table
     from ..engine.planner import sig_expr
     from .tiers import series_dim, series_key  # noqa: F401
 
-    samples_wide = page_samples(pages)
+    # FUSED extraction check: the enriched projection already decodes the
+    # heavy `html` column (content_len), so the byte-identity invariant
+    # (`_bad`) rides the SAME scan instead of a second full read of the
+    # page table. The narrow projection is persisted, the Arrow UDF is paid
+    # exactly once, and the post-write `sum(_bad)` below is a cache hit.
+    enriched = _page_enriched(pages, verify=check_extraction).persist()
+    samples_wide = samples_from_table(enriched, **_PAGE_TABLE_ARGS)
     # `_sig` is the statically-concatenated signature samples_from_table
     # precomputes (same string sig_expr derives from the map, minus the
     # per-row map build/sort) — fall back for sample sources without it
@@ -100,10 +95,9 @@ def run_pipeline(
     ).persist()
     # label-space fast path: one narrow aggregate over page rows instead of
     # a signature-distinct over the 3x-wider sample union (round-5 verdict
-    # item 5 — the dim build was ~23% of the tier_1m stage)
-    from .pages import page_series_dim
-
-    dim = page_series_dim(pages).persist()
+    # item 5 — the dim build was ~23% of the tier_1m stage); built from the
+    # persisted enriched projection so it reuses the fused-verify cache.
+    dim = page_series_dim_from_enriched(enriched).persist()
 
     # tier cascade with resume: the cascade itself stays NARROW (skey-keyed
     # partials, persisted); labels attach only at each commit edge. Each
@@ -111,18 +105,27 @@ def run_pipeline(
     # skipped on re-runs.
     t0 = time.time()
     p1m = tier_partials(samples, "1m", salt_buckets=salt_buckets, dim=dim).persist()
-    r1 = store.commit(with_date(attach_series(p1m, dim)), "tier_1m")
-    metrics["stages"]["tier_1m"] = r1.metrics
+    # tier_1m's heavy data write runs BEFORE the invariant check joins, but
+    # with publish=False nothing it wrote is visible (manifests + CURRENT
+    # swap are staged) — a violation aborts with zero published state, so
+    # readers can never serve tiers derived from bad extractions.
+    r1 = store.commit(
+        with_date(attach_series(p1m, dim)), "tier_1m",
+        publish=not check_extraction,
+    )
 
-    if verify_future is not None:
-        mismatches, verify_s = verify_future.result()
+    if check_extraction:
+        t0v = time.time()
+        mismatches = enriched.agg(_F.sum("_bad")).first()[0] or 0
         if mismatches:
             raise RuntimeError(
                 f"extraction invariant violated for {mismatches} pages"
             )
+        store.finalize_commit(r1)
         metrics["stages"]["verify_extraction"] = {
-            "elapsed_s": verify_s, "overlapped": True
+            "elapsed_s": round(time.time() - t0v, 3), "fused": True
         }
+    metrics["stages"]["tier_1m"] = r1.metrics
 
     p1h = tier_from_tier(p1m, "1h").persist()
     r2 = store.commit(with_date(attach_series(p1h, dim)), "tier_1h")
@@ -145,6 +148,7 @@ def run_pipeline(
 
     samples.unpersist()
     dim.unpersist()
+    enriched.unpersist()
     if cache_pages:
         pages.unpersist()
     total_points = (

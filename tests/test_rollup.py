@@ -273,10 +273,40 @@ def test_full_pipeline(spark, tmp_path, pages):
     metrics = run_pipeline(spark, pages, str(tmp_path / "tiers"), salt_buckets=4)
     assert metrics["rolled_up_points"] > 0
     assert metrics["points_per_sec"] > 0
+    # the extraction check is FUSED into the enriched-projection scan, not a
+    # second full read of the page table (round-6 verdict item 4)
+    assert metrics["stages"]["verify_extraction"]["fused"] is True
     # resume: re-run skips everything
     m2 = run_pipeline(spark, pages, str(tmp_path / "tiers"), salt_buckets=4)
     assert m2["stages"]["tier_1m"]["partitions_written"] == 0
     assert m2["stages"]["tier_1d"]["partitions_written"] == 0
+
+
+def test_extraction_violation_blocks_publish(spark, tmp_path, pages):
+    """ADVICE regression: tier_1m's heavy data write overlaps the extraction
+    check, but manifests + snapshot + CURRENT are staged (publish=False) and
+    land only after the invariant holds — a violation must abort with ZERO
+    published state, so a reader can never serve tiers derived from bad
+    extractions (previously the snapshot was already visible on failure)."""
+    import glob as _glob
+
+    bad = pages.withColumn(
+        "text",
+        F.when(F.xxhash64("url") % 50 == 0, F.lit("CORRUPTED")).otherwise(
+            F.col("text")
+        ),
+    )
+    out = str(tmp_path / "tiers_bad")
+    with pytest.raises(RuntimeError, match="extraction invariant violated"):
+        run_pipeline(spark, bad, out, pack=False)
+    store = TierStore(out)
+    # nothing visible: no CURRENT pointer, no snapshots, no manifests
+    assert store.current_snapshot_id("tier_1m") is None
+    assert not _glob.glob(os.path.join(out, "tier_1m", "_lineage", "*.json"))
+    assert not _glob.glob(os.path.join(out, "tier_1m", "_snapshots", "*"))
+    # and a rerun after fixing the data starts from clean lineage state
+    m = run_pipeline(spark, pages, out, pack=False)
+    assert m["stages"]["tier_1m"]["partitions_written"] > 0
 
 
 def test_lineage_fingerprint_on_ansi_session(spark, tmp_path, samples):

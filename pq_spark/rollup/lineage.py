@@ -53,6 +53,13 @@ from pyspark.sql import DataFrame, functions as F
 SCHEMA_VERSION = 2  # v2: overflow-proof xor digest (v1 summed 64-bit hashes)
 
 
+class StoreCorruptionError(RuntimeError):
+    """A lineage manifest references data that no longer exists — the store
+    needs operator repair (message carries the hint); commits/publishes on
+    the affected table refuse to proceed rather than publish a snapshot
+    missing a live partition."""
+
+
 @dataclass
 class CommitResult:
     table_path: str
@@ -113,7 +120,17 @@ class TierStore:
     def _scan_manifest_parts(self, table: str) -> dict[str, str]:
         """Partition → relative data dir, from the per-partition manifests
         (the writer-side source of truth; a manifest is written only after
-        its partition's data files are complete)."""
+        its partition's data files are complete).
+
+        Pure read — the publish retry loop calls this repeatedly and must
+        never mutate the store it is scanning. Legacy manifests (pre-
+        snapshot-isolation, no ``data_path``) are RESOLVED in memory to
+        their root-relative ``date=<part>`` dir so every snapshot still
+        carries every live partition; the durable rewrite is an explicit
+        migration (:meth:`migrate_legacy_manifests`). A legacy manifest
+        whose data dir is gone is store corruption — surfaced as
+        :class:`StoreCorruptionError` with a repair hint rather than
+        publishing a silently-shrunk snapshot."""
         d = self._lineage_dir(table)
         parts: dict[str, str] = {}
         if not os.path.isdir(d):
@@ -129,25 +146,49 @@ class TierStore:
             if m.get("data_path"):
                 parts[m["partition"]] = m["data_path"]
             elif m.get("partition") is not None:
-                # legacy manifest (pre-snapshot-isolation store): data lives
-                # at the table root as <table>/date=<part>.  Backfill the
-                # root-relative path durably so the first snapshot published
-                # over an upgraded store carries EVERY live partition, not
-                # just the ones rewritten since the upgrade; a legacy
-                # manifest whose data dir is gone is store corruption —
-                # surface it rather than publish a silently-shrunk snapshot.
                 legacy_rel = f"date={m['partition']}"
                 root = os.path.join(self.base_path, table)
                 if not os.path.isdir(os.path.join(root, legacy_rel)):
-                    raise FileNotFoundError(
+                    raise StoreCorruptionError(
                         f"manifest {fn} of table {table!r} has no data_path "
                         f"and no legacy data dir {legacy_rel!r} — refusing "
-                        "to publish a snapshot missing a live partition"
+                        "to publish a snapshot missing a live partition. "
+                        "Repair: restore the data dir, or delete the orphan "
+                        f"manifest {os.path.join(d, fn)!r} if the partition "
+                        "is truly gone, then re-run the commit."
                     )
-                m["data_path"] = legacy_rel
-                self._write_manifest(table, str(m["partition"]), m)
                 parts[m["partition"]] = legacy_rel
         return parts
+
+    def migrate_legacy_manifests(self, table: str) -> dict[str, list[str]]:
+        """One-shot upgrade of a pre-snapshot-isolation store: durably
+        backfill ``data_path`` into every legacy manifest whose data dir is
+        live, and REPORT (not raise) orphans so an operator can repair a
+        store that the hot publish path refuses to touch. Returns
+        ``{"migrated": [...], "orphaned": [...]}`` partition lists."""
+        d = self._lineage_dir(table)
+        out: dict[str, list[str]] = {"migrated": [], "orphaned": []}
+        if not os.path.isdir(d):
+            return out
+        root = os.path.join(self.base_path, table)
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".json") or fn.endswith(".tmp"):
+                continue
+            try:
+                with open(os.path.join(d, fn)) as f:
+                    m = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue
+            if m.get("data_path") or m.get("partition") is None:
+                continue
+            legacy_rel = f"date={m['partition']}"
+            if os.path.isdir(os.path.join(root, legacy_rel)):
+                m["data_path"] = legacy_rel
+                self._write_manifest(table, str(m["partition"]), m)
+                out["migrated"].append(str(m["partition"]))
+            else:
+                out["orphaned"].append(str(m["partition"]))
+        return out
 
     def current_snapshot_id(self, table: str) -> int | None:
         p = os.path.join(self._snapshots_dir(table), "CURRENT")

@@ -17,6 +17,7 @@ oracle SQL then reproduces the grid arithmetic
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -2609,6 +2610,116 @@ FROM comp c JOIN best b ON b.component_id = c.component_id""".replace(
 )
 
 
+# -- multimodal table path under the oracle (round-6 verdict item 6) ----------
+# The committed fixture (scripts/make_media_fixture.py → fixtures/
+# media.parquet) is a real media table: spec-compliant PNGs, RIFF/WAVE
+# PCM16, and the PNG-frame video container, each with the typed meta
+# struct. The row derives container-header facts ENTIRELY JVM-side
+# (hex/substring/conv column arithmetic — no Python touches the bytes)
+# and DuckDB restates the byte-level parsing from the same file, putting
+# the multimodal *table path* (binary + struct metadata through parquet)
+# under the driver's hash oracle. Full decode stays pytest-pinned
+# (tests/test_multimodal.py) — binary codec output has no SQL oracle.
+_MEDIA_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "media.parquet",
+)
+
+
+def _media_facts_query(spark, sf):
+    from .multimodal import media_header_facts
+
+    _par(spark)  # engine session confs (the fixture row is sf-independent)
+    return media_header_facts(spark.read.parquet(_MEDIA_FIXTURE))
+
+
+register(
+    "media_header_facts",
+    _media_facts_query,
+    f"""WITH m AS (
+  SELECT kind, meta, octet_length(blob) AS nbytes, hex(blob) AS hx
+  FROM read_parquet('{_MEDIA_FIXTURE}')
+), p AS (
+  SELECT kind, nbytes, meta,
+    CASE WHEN kind='image' THEN substr(hx,1,16)='89504E470D0A1A0A'
+         WHEN kind='audio' THEN substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645'
+         ELSE substr(hx,1,4)='4D4D' AND substr(hx,5,2)='02' END AS mok,
+    CASE WHEN kind='image' THEN CAST('0x'||substr(hx,33,8) AS BIGINT)
+         WHEN kind='audio' THEN CAST('0x'||substr(hx,55,2)||substr(hx,53,2)||substr(hx,51,2)||substr(hx,49,2) AS BIGINT)
+         ELSE CAST('0x'||substr(hx,9,2)||substr(hx,7,2) AS BIGINT) END AS ha,
+    CASE WHEN kind='image' THEN CAST('0x'||substr(hx,41,8) AS BIGINT)
+         WHEN kind='audio' THEN CAST('0x'||substr(hx,71,2)||substr(hx,69,2) AS BIGINT)
+         ELSE CAST('0x'||substr(hx,13,2)||substr(hx,11,2) AS BIGINT) END AS hb,
+    CASE WHEN kind='video' THEN CAST('0x'||substr(hx,17,2)||substr(hx,15,2) AS BIGINT) END AS fr
+  FROM m
+)
+SELECT kind, count(*) AS n,
+  CAST(sum(nbytes) AS BIGINT) AS bytes_total,
+  CAST(sum(CASE WHEN mok THEN 1 ELSE 0 END) AS BIGINT) AS magic_ok_n,
+  CAST(sum(ha) AS BIGINT) AS hdr_a_sum,
+  CAST(sum(hb) AS BIGINT) AS hdr_b_sum,
+  CAST(sum(CASE WHEN meta.n_bytes = nbytes
+                 AND ha = (CASE WHEN kind='audio' THEN meta.sample_rate ELSE meta.width END)
+                 AND hb = (CASE WHEN kind='audio' THEN 16 ELSE meta.height END)
+                 AND (kind != 'video' OR fr = meta.frames)
+            THEN 1 ELSE 0 END) AS BIGINT) AS meta_agree_n
+FROM p GROUP BY kind""",
+)
+
+
+# -- streaming exact dedup under the oracle (round-6 verdict item 8) ----------
+def _streamed_dedup_query(spark, sf):
+    """Bounded-state streaming dedup under the driver's hard signal: the
+    documents table replays through the REAL streaming operator
+    (``dropDuplicatesWithinWatermark`` on the normalized-text md5,
+    availableNow bounded replay) with a deterministic crawl timestamp and
+    EVERY document injected twice 1 s apart — the stream must collapse the
+    2x replay back to exactly one row per content hash. Survivors project
+    to the hash itself (identical across a duplicate pair, so the result
+    is arrival-order-independent), which the oracle restates as the
+    distinct normalized-text md5 set: if the streaming state/eviction
+    machinery dropped or double-emitted anything, rows and hashes both
+    diverge."""
+    import uuid as _uuid
+
+    from .streaming import streaming_dedup
+
+    _par(spark)
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    doubled = docs.select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("_copy")
+    ).withColumn(
+        "ts",
+        F.lit(1_700_000_000_000)
+        + F.col("doc_id") * 10_000
+        + F.col("_copy") * 1_000,
+    )
+    surv = streaming_dedup(doubled, watermark="10 minutes")
+    sink = f"pq_streamed_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        surv.select(F.col("_text_hash").alias("text_hash"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+register(
+    "dedup_exact_streamed",
+    _streamed_dedup_query,
+    f"SELECT md5({_NORM_SQL}) AS text_hash FROM documents GROUP BY 1",
+)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -2832,6 +2943,23 @@ _DEFERRED = [
                                # shape via every tier/sum row; green
                                # r04-r05 + both canaries; deferred to
                                # admit dedup_semantic
+    # round-7 rotation: two redundant green siblings deferred to admit the
+    # two new hard-signal rows (media_header_facts — the multimodal table
+    # path under the oracle; dedup_exact_streamed — bounded-state
+    # streaming dedup under the oracle)
+    "pq_count_values",         # family: value-distribution aggregation —
+                               # the count/seeding machinery stays via
+                               # pq_count_quirk_by_et and the
+                               # value-bucketing stat shape via
+                               # pq_quantile_by_et + pq_histogram_quantile;
+                               # green r04-r06 + both canaries; deferred
+                               # to admit media_header_facts
+    "pq_limit_ratio",          # family: deterministic series limiting —
+                               # pq_limitk keeps the limit family
+                               # in-window and the xxhash-select
+                               # machinery stays via sample_mixture;
+                               # green r06 + both canaries; deferred to
+                               # admit dedup_exact_streamed
 ]
 
 for _n in _DEFERRED:

@@ -203,3 +203,80 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
     return media.filter(F.col("kind") == "video").select("media_id", "blob").mapInPandas(
         sf, FRAME_SCHEMA
     )
+
+
+def media_header_facts(media: DataFrame) -> DataFrame:
+    """Container-header facts derived ENTIRELY JVM-side from the binary
+    column — per kind: row count, total bytes, magic-signature validity,
+    parsed header dimensions, and agreement with the typed ``meta`` struct.
+
+    No Python touches the bytes: every field is substring/hex/conv column
+    arithmetic (PNG IHDR width/height are big-endian u32 at offsets 16/20;
+    WAV sample-rate is little-endian u32 at offset 24 and bits-per-sample
+    LE u16 at offset 34; the video container packs LE u16 width/height/
+    frames at offsets 3/5/7 — see the module docstring). This is the
+    100-TB shape for metadata validation sweeps: a full-corpus scan that
+    never deserializes payloads and never leaves whole-stage codegen.
+
+    ``hdr_a``/``hdr_b`` are the kind's primary/secondary header fields
+    (image: width/height; audio: sample_rate/bits-per-sample; video:
+    width/height); ``meta_agree_n`` counts rows whose parsed header AND
+    byte length match the metadata struct exactly (video additionally
+    checks the frame count)."""
+    b = F.col("blob")
+
+    def _hx(pos: int, ln: int):  # 1-based byte offset → uppercase hex
+        return F.hex(F.substring(b, pos, ln))
+
+    def _be(pos: int, ln: int):
+        return F.conv(_hx(pos, ln), 16, 10).cast("long")
+
+    def _le(pos: int, ln: int):
+        return F.conv(
+            F.concat(*[_hx(pos + i, 1) for i in range(ln - 1, -1, -1)]),
+            16, 10,
+        ).cast("long")
+
+    kind = F.col("kind")
+    magic_ok = (
+        F.when(kind == "image", _hx(1, 8) == "89504E470D0A1A0A")
+        .when(kind == "audio", (_hx(1, 4) == "52494646") & (_hx(9, 4) == "57415645"))
+        .otherwise((_hx(1, 2) == "4D4D") & (_hx(3, 1) == "02"))
+    )
+    hdr_a = (
+        F.when(kind == "image", _be(17, 4))
+        .when(kind == "audio", _le(25, 4))
+        .otherwise(_le(4, 2))
+    )
+    hdr_b = (
+        F.when(kind == "image", _be(21, 4))
+        .when(kind == "audio", _le(35, 2))
+        .otherwise(_le(6, 2))
+    )
+    meta_ok = (
+        (F.col("meta.n_bytes") == F.length(b))
+        & F.when(kind == "audio",
+                 (hdr_a == F.col("meta.sample_rate")) & (hdr_b == F.lit(16)))
+        .otherwise((hdr_a == F.col("meta.width")) & (hdr_b == F.col("meta.height")))
+        & F.when(kind == "video", _le(8, 2) == F.col("meta.frames"))
+        .otherwise(F.lit(True))
+    )
+    return (
+        media.select(
+            "kind",
+            F.length(b).cast("long").alias("_nb"),
+            magic_ok.cast("long").alias("_mok"),
+            hdr_a.alias("_ha"),
+            hdr_b.alias("_hb"),
+            meta_ok.cast("long").alias("_magree"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_nb").alias("bytes_total"),
+            F.sum("_mok").alias("magic_ok_n"),
+            F.sum("_ha").alias("hdr_a_sum"),
+            F.sum("_hb").alias("hdr_b_sum"),
+            F.sum("_magree").alias("meta_agree_n"),
+        )
+    )

@@ -52,6 +52,10 @@ def main() -> None:
     ap.add_argument("--out", default=str(Path(__file__).resolve().parents[1]
                                          / "CORRECTNESS_sf01.json"))
     ap.add_argument("--window", type=int, default=50)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names: run ONLY these and "
+                         "merge into an existing --out artifact (window "
+                         "rotations re-run just the rotated-in rows)")
     args = ap.parse_args()
 
     import duckdb
@@ -79,7 +83,16 @@ def main() -> None:
     queries = entry.queries()
     oracles = entry.oracle_sql()
     out: dict[str, dict] = {}
-    for name in list(queries)[: args.window]:
+    names = list(queries)[: args.window]
+    if args.only:
+        wanted = [n.strip() for n in args.only.split(",") if n.strip()]
+        missing = [n for n in wanted if n not in names]
+        if missing:
+            raise SystemExit(f"--only names not in window: {missing}")
+        if Path(args.out).exists():
+            out.update(json.loads(Path(args.out).read_text()))
+        names = wanted
+    for name in names:
         rec: dict = {"rows_match": False, "schema_match": False,
                      "hash_match": False, "spark_rows": None,
                      "oracle_rows": None, "err": None}

@@ -265,3 +265,28 @@ def test_codec_fuzz_roundtrip_and_rejection():
                 dec(bytes(b))
             except ValueError:
                 pass  # the contract: ValueError or success, nothing else
+
+
+def test_media_header_facts_jvm_parse(spark):
+    """The JVM-side header parser (hex/substring/conv — zero Python on the
+    bytes) must agree with the codecs' own containers: every synthesized
+    blob carries a valid magic AND a header that matches its meta struct
+    exactly; per-kind byte totals reconcile with a direct length sum."""
+    from pq_spark.multimodal import media_header_facts
+
+    media = synth_media(spark, 120, seed=11).cache()
+    facts = {r["kind"]: r for r in media_header_facts(media).collect()}
+    totals = {
+        r["kind"]: (r["n"], r["b"])
+        for r in media.groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("blob")).alias("b"))
+        .collect()
+    }
+    assert set(facts) == {"image", "audio", "video"}
+    for kind, row in facts.items():
+        n, b = totals[kind]
+        assert row["n"] == n and row["bytes_total"] == b
+        assert row["magic_ok_n"] == n, f"{kind}: bad magic"
+        assert row["meta_agree_n"] == n, f"{kind}: header/meta mismatch"
+        assert row["hdr_a_sum"] > 0 and row["hdr_b_sum"] > 0
+    media.unpersist()

@@ -2720,6 +2720,126 @@ register(
 )
 
 
+# -- time-series joins (as-of + bucketed range; pq_spark/timejoin.py) --------
+def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _par(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(_par(spark))
+    return ev.select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "user_id",
+        F.col("event_type").alias("et"),
+        "value",
+    )
+
+
+_EV_CTE = """
+ev AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type AS et, value
+  FROM events
+)"""
+
+
+def _ts_asof_query(spark, sf):
+    """For every event, the most recent per-user 10-min ERROR rollup
+    at-or-before the event's timestamp (the serving-side 'attach latest
+    tier point to a raw stream' shape). The right side is sparse — most
+    users have error-free stretches — so the left-outer null path and the
+    backward carry are both exercised at full scale; the hash compare
+    reads a deterministic 1/29 slice of the joined rows (the JOIN runs
+    over everything; only the checked projection is thinned)."""
+    from .timejoin import asof_join
+
+    ev = _events_raw(spark, sf)
+    err = (
+        ev.filter(F.col("et") == "error")
+        .groupBy(
+            "user_id",
+            F.expr("ts_ms div 600000 * 600000").alias("err_bts"),
+        )
+        .agg(F.round(F.avg("value") + F.lit(_EPS6), 6).alias("err_avg"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts_ms"),
+        err,
+        on=["user_id"],
+        left_ts="ts_ms",
+        right_ts="err_bts",
+        values=["err_avg"],
+    )
+    return joined.filter(F.col("event_id") % 29 == 0).select(
+        "event_id", "user_id", "ts_ms", "err_bts", "err_avg"
+    )
+
+
+register(
+    "ts_asof_join",
+    _ts_asof_query,
+    f"""WITH {_EV_CTE},
+r AS (
+  SELECT user_id, ts_ms // 600000 * 600000 AS err_bts,
+         round(avg(value) + 1e-7, 6) AS err_avg
+  FROM ev WHERE et = 'error' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts_ms, r.err_bts, r.err_avg
+FROM ev e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts_ms >= r.err_bts
+WHERE e.event_id % 29 = 0""",
+)
+
+
+def _ts_range_query(spark, sf):
+    """Events range-joined into overlapping 30-min incident windows (a
+    10-min bucket with >= 2 errors opens one), then rolled up per
+    incident — the many-to-many interval join Spark would otherwise plan
+    as a BroadcastNestedLoopJoin. The bucketed equi-join (timejoin.py)
+    keys each event to its own 10-min bucket, so every (event, incident)
+    containment is produced exactly once and the count/sum per incident
+    is exact."""
+    from .timejoin import range_join
+
+    ev = _events_raw(spark, sf)
+    inc = (
+        ev.filter(F.col("et") == "error")
+        .groupBy(F.expr("ts_ms div 600000 * 600000").alias("inc_start"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= 2)
+        .select(
+            "inc_start",
+            F.col("inc_start").alias("iv_start"),
+            (F.col("inc_start") + F.lit(1_800_000)).alias("iv_end"),
+        )
+    )
+    joined = range_join(
+        ev.select("event_id", "ts_ms", "value"),
+        inc,
+        left_ts="ts_ms",
+        start="iv_start",
+        end="iv_end",
+        bucket_ms=600_000,
+    )
+    return joined.groupBy("inc_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") + F.lit(_EPS6), 6).alias("sum_value"),
+    )
+
+
+register(
+    "ts_range_join",
+    _ts_range_query,
+    f"""WITH {_EV_CTE},
+inc AS (
+  SELECT ts_ms // 600000 * 600000 AS inc_start, count(*) AS n_err
+  FROM ev WHERE et = 'error' GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT i.inc_start, count(*) AS n_events,
+       round(sum(e.value) + 1e-7, 6) AS sum_value
+FROM ev e JOIN inc i
+  ON e.ts_ms >= i.inc_start AND e.ts_ms < i.inc_start + 1800000
+GROUP BY i.inc_start""",
+)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -2960,6 +3080,23 @@ _DEFERRED = [
                                # machinery stays via sample_mixture;
                                # green r06 + both canaries; deferred to
                                # admit dedup_exact_streamed
+    # second round-7 rotation: admit the time-series join operators
+    # (ts_asof_join — at-or-before carry via single-shuffle union+window;
+    # ts_range_join — bucketed interval containment, no nested loop)
+    "pq_hour_of_ts",           # family: timestamp-component functions —
+                               # pq_timestamp (deferred, green) pins the
+                               # same epoch extraction path and
+                               # pq_math_fns keeps scalar-function
+                               # machinery in-window; green r05-r06 +
+                               # both canaries; deferred to admit
+                               # ts_asof_join
+    "pq_changes",              # family: range-vector numeric counters —
+                               # pq_deriv keeps the windowed slope/count
+                               # shape in-window and increase/delta/
+                               # idelta (deferred, green) pin the
+                               # counter family; green r05-r06 + both
+                               # canaries; deferred to admit
+                               # ts_range_join
 ]
 
 for _n in _DEFERRED:

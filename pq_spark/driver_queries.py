@@ -2840,6 +2840,56 @@ GROUP BY i.inc_start""",
 )
 
 
+# -- tier routing: coarsest-exact-tier serving under the oracle --------------
+def _routed_window_query(spark, sf):
+    """2h-stride 6h-window *_over_time served through the tier ROUTER
+    (rollup/tiers.py route_tier + serve_over_time_routed): with 1m and 1h
+    tiers available the router must pick 1h (coarsest exact divisor of
+    gcd(2h, 6h)) and serve each window from 3 hourly partials instead of
+    360 minute partials or the raw corpus. The oracle computes the same
+    windows from RAW events, so a hash match proves tier construction,
+    the routing decision, AND strided window serving end-to-end."""
+    from .rollup.tiers import rollup_cascade, serve_over_time_routed
+
+    HOUR = 60 * MIN_MS
+    tiers = rollup_cascade(event_samples(spark, sf), ("1m", "1h"))
+    b, w = serve_over_time_routed(tiers, 2 * HOUR, 6 * HOUR)
+    assert b == HOUR, f"router picked {b}, expected 1h"
+    return w.select(
+        (F.col("bucket_ts") + F.lit(HOUR - 1)).alias("instant"),
+        F.col("labels").getItem("et").alias("et"),
+        F.col("labels").getItem("ub").alias("ub"),
+        F.col("cnt").cast("double").alias("points"),
+        F.round(F.col("sum") + F.lit(_EPS6), 6).alias("sum_win"),
+        F.col("min").alias("min_win"),
+        F.col("max").alias("max_win"),
+        F.col("oldest_val").alias("last_win"),  # pq last_over_time quirk
+    )
+
+
+# raw-side oracle: a sample in hour-bucket b contributes to the on-stride
+# (2h-aligned) window-ends in [b, b+5h] — start at b rounded UP to the 2h
+# grid. Events start 2024-01-01T00Z (2h-aligned), so phase = 0.
+_ROUTED_WINDOW_SQL = f"""WITH {_S_CTE},
+srv AS (
+  SELECT unnest(generate_series(
+           b + ({2 * 3_600_000} - b % {2 * 3_600_000}) % {2 * 3_600_000},
+           b + {5 * 3_600_000}, {2 * 3_600_000})) AS wend,
+         et, ub, value, ts_ms, event_id
+  FROM (SELECT ts_ms - (ts_ms % {3_600_000}) AS b, et, ub, value, ts_ms,
+               event_id FROM s)
+)
+SELECT wend + {3_600_000 - 1} AS instant, et, ub,
+       CAST(count(*) AS DOUBLE) AS points,
+       round(sum(value) + 1e-7, 6) AS sum_win,
+       min(value) AS min_win,
+       max(value) AS max_win,
+       arg_min(value, ts_ms * 1000000 + event_id) AS last_win
+FROM srv GROUP BY wend, et, ub"""
+
+register("tier_routed_window", _routed_window_query, _ROUTED_WINDOW_SQL)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -3097,6 +3147,16 @@ _DEFERRED = [
                                # counter family; green r05-r06 + both
                                # canaries; deferred to admit
                                # ts_range_join
+    # third round-7 rotation: admit the tier-routing row (coarsest-exact-
+    # tier serving: router decision + cascade construction + strided
+    # window serving vs a raw-events oracle)
+    "pq_mad_over_time",        # family: robust windowed stats —
+                               # pq_holt_winters keeps windowed smoothing
+                               # in-window and pq_quantile_over_time
+                               # (deferred, green) pins the windowed
+                               # order-statistic machinery; green r06 +
+                               # both canaries; deferred to admit
+                               # tier_routed_window
 ]
 
 for _n in _DEFERRED:

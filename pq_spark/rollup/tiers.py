@@ -320,7 +320,8 @@ def samples_from_tier(
 
 
 def over_time_from_tier(
-    tier: DataFrame, tier_ms: int, range_ms: int
+    tier: DataFrame, tier_ms: int, range_ms: int,
+    stride_ms: int | None = None, phase_ms: int = 0,
 ) -> DataFrame:
     """Serve pq's ``*_over_time(v[range])`` functions FROM a tier's
     algebraic partials — exact, never touching raw data, when ``range`` is
@@ -353,25 +354,40 @@ def over_time_from_tier(
     so rate/increase/delta are exactly servable too:
     ``rate = (newest_val − oldest_val) / ((newest_ts − oldest_ts)/1000)``
     when ``cnt ≥ 2`` and the span is positive.
+
+    ``stride_ms`` (a multiple of ``tier_ms``; default ``tier_ms``) serves a
+    COARSER grid: only window-ends with ``wend ≡ phase_ms (mod stride_ms)``
+    are generated, so each bucket fans out to ``range/stride`` window-ends
+    instead of ``range/tier`` — the explode shrinks with the grid instead
+    of producing rows a downstream filter would discard. This is what the
+    tier router uses to serve e.g. a 2h-stride 6h-window query from the 1h
+    tier with fan-out 3, not 6.
     """
     if range_ms % tier_ms != 0 or range_ms <= 0:
         raise ValueError("range must be a positive multiple of the tier width")
+    stride_ms = tier_ms if stride_ms is None else int(stride_ms)
+    if stride_ms % tier_ms != 0 or stride_ms <= 0:
+        raise ValueError("stride must be a positive multiple of the tier width")
     r = range_ms // tier_ms
     narrow = "skey" in tier.columns
     ident = "skey" if narrow else "sig"
 
+    # first on-stride window-end at-or-after this bucket; a bucket whose
+    # stride window starts past its last contribution emits nothing
+    last_w = F.col("bucket_ts") + F.lit((r - 1) * tier_ms)
+    first_w = F.col("bucket_ts") + F.pmod(
+        F.lit(int(phase_ms)) - F.col("bucket_ts"), F.lit(int(stride_ms))
+    )
+    wends = F.when(
+        first_w <= last_w,
+        F.sequence(first_w, last_w, F.lit(int(stride_ms)).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
     served = tier.select(
         ident,
         F.col("bucket_ts").alias("_src"),
         "cnt", "sum", "min", "max",
         "first_ts", "first_val", "last_ts", "last_val",
-        F.explode(
-            F.sequence(
-                F.col("bucket_ts"),
-                F.col("bucket_ts") + F.lit((r - 1) * tier_ms),
-                F.lit(tier_ms).cast("long"),
-            )
-        ).alias("_wend"),
+        F.explode(wends).alias("_wend"),
     )
     # numeric-only aggregation keyed by (window-end, series key) stays in
     # HashAggregate; identity columns rejoin from a broadcast dim below.
@@ -398,6 +414,61 @@ def over_time_from_tier(
     return agg.join(F.broadcast(dim), "sig").select(
         "bucket_ts", "sig", "name", "labels", *cols
     )
+
+
+def route_tier(
+    available, interval_ms: int, range_ms: int | None = None,
+    anchor_ms: int = 0,
+):
+    """Pick the COARSEST tier width that answers a windowed query EXACTLY,
+    or None when only raw samples can (the continuous-aggregate
+    'real-time aggregation' routing decision, made statically from the
+    query shape — no data inspection).
+
+    A tier of width B serves exactly iff every window is a union of whole
+    B-buckets and every grid window-end lands on a bucket boundary:
+    ``B | range``, ``B | interval`` (stride), and ``B | anchor`` (the
+    grid's phase). ``available`` holds tier names ('1m') or widths in ms.
+
+    At 100 TB this is THE scan-size lever: a 1d-tier answer reads
+    #series × #days rows; the same query over raw data reads the corpus.
+    Always route before falling back to the finest tier or raw.
+    """
+    cands = []
+    for t in available:
+        b = TIER_MS[t] if isinstance(t, str) else int(t)
+        if interval_ms % b:
+            continue
+        if range_ms is not None and range_ms % b:
+            continue
+        if anchor_ms % b:
+            continue
+        cands.append(b)
+    return max(cands) if cands else None
+
+
+def serve_over_time_routed(
+    tiers: dict, interval_ms: int, range_ms: int, phase_ms: int = 0,
+):
+    """Serve ``*_over_time(v[range])`` on an ``interval``-stride grid from
+    the coarsest exact tier in ``tiers`` ({name-or-width: tier DataFrame}).
+    Returns ``(tier_ms, served)``; raises when no tier qualifies (the
+    caller falls back to raw samples — routing never silently
+    approximates)."""
+    widths = {
+        (TIER_MS[k] if isinstance(k, str) else int(k)): k for k in tiers
+    }
+    b = route_tier(widths, interval_ms, range_ms, phase_ms)
+    if b is None:
+        raise ValueError(
+            f"no tier in {sorted(widths)} serves interval={interval_ms} "
+            f"range={range_ms} anchor={phase_ms} exactly — use raw samples"
+        )
+    served = over_time_from_tier(
+        tiers[widths[b]], b, range_ms, stride_ms=interval_ms,
+        phase_ms=phase_ms,
+    )
+    return b, served
 
 
 def hll_tier(

@@ -753,3 +753,91 @@ def test_commit_write_parallelism(spark, tmp_path, samples):
         str(tmp_path / "narrow" / "tier_1m" / "data" / "*" / f"date={busiest}" / "*.parquet")
     )
     assert len(files1) == 1, files1
+
+
+def test_route_tier_selection():
+    """Static routing decision: coarsest tier dividing interval, range,
+    and anchor — or None (raw fallback). Pure function, no data."""
+    from pq_spark.rollup.tiers import route_tier
+
+    M, H, D = 60_000, 3_600_000, 86_400_000
+    av = ["1m", "1h", "1d"]
+    assert route_tier(av, 2 * H, 6 * H) == H
+    assert route_tier(av, D, 7 * D) == D
+    assert route_tier(av, 2 * H, 3 * H) == H          # 1d divides neither
+    assert route_tier(av, 120_000, 300_000) == M      # only 1m divides 5m
+    assert route_tier(av, 45_000, 90_000) is None     # nothing divides 45s
+    assert route_tier(av, 2 * H, 6 * H, anchor_ms=30 * M) == M  # phase blocks 1h
+    assert route_tier([3_600_000], 2 * H, 6 * H) == H  # widths accepted
+    assert route_tier(av, 2 * H) == H                  # instant (no range)
+
+
+def test_over_time_stride_equals_filtered_full(spark, samples):
+    """Strided serving must equal full serving filtered to the on-stride
+    window-ends — the explode prunes rows, never changes them."""
+    from pq_spark.rollup.tiers import over_time_from_tier
+
+    M = 60_000
+    tier = rollup_tier(samples, "1m").filter(F.col("name") == "text_len")
+    cols = ["cnt", "sum", "min", "max",
+            "oldest_val", "newest_val", "oldest_ts", "newest_ts"]
+
+    def key(df):
+        return {
+            (r["bucket_ts"], r["sig"]): tuple(r[c] for c in cols)
+            for r in df.collect()
+        }
+
+    full = key(over_time_from_tier(tier, M, 10 * M))
+    strided = key(over_time_from_tier(tier, M, 10 * M, stride_ms=5 * M))
+    expect = {k: v for k, v in full.items() if k[0] % (5 * M) == 0}
+    assert strided == expect and len(strided) > 0
+    # non-zero phase selects the complementary grid
+    phased = key(over_time_from_tier(tier, M, 10 * M, stride_ms=5 * M,
+                                     phase_ms=2 * M))
+    assert phased == {k: v for k, v in full.items()
+                      if k[0] % (5 * M) == 2 * M}
+
+
+def test_serve_routed_cross_tier_exactness(spark, samples):
+    """The router must pick the 1h tier for a 2h-stride 6h-window query
+    and the served windows must EQUAL the same windows computed from the
+    1m tier (fan-out 360 vs 6) — continuous-aggregate routing is a scan
+    optimization, never an approximation."""
+    import pytest as _pytest
+
+    from pq_spark.rollup.tiers import (
+        over_time_from_tier, rollup_cascade, serve_over_time_routed,
+    )
+
+    M, H = 60_000, 3_600_000
+    tiers = rollup_cascade(samples.filter(F.col("name") == "text_len"),
+                           ("1m", "1h", "1d"))
+    b, routed = serve_over_time_routed(tiers, 2 * H, 6 * H)
+    assert b == H
+
+    cols = ["cnt", "min", "max", "oldest_val", "newest_val",
+            "oldest_ts", "newest_ts"]
+
+    # a window-end on tier B serves grid instant i = wend + B − 1 and
+    # covers (i − range, i] — so the 1m wend comparable to 1h wend w is
+    # w + 59 min (same instant, same absolute window). Key by instant.
+    def key(df, tier_ms):
+        return {
+            (r["bucket_ts"] + tier_ms - 1, r["sig"]):
+                (tuple(r[c] for c in cols), r["sum"])
+            for r in df.collect()
+        }
+
+    got = key(routed, H)
+    fine = key(over_time_from_tier(tiers["1m"], M, 6 * H, stride_ms=2 * H,
+                                   phase_ms=59 * M), M)
+    assert set(got) == set(fine) and len(got) > 0
+    for k, (exact, s) in got.items():
+        fexact, fs = fine[k]
+        assert exact == fexact, k
+        assert abs(s - fs) < 1e-9 * max(1.0, abs(fs)), k
+
+    # no qualifying tier → loud refusal, not an approximate answer
+    with _pytest.raises(ValueError, match="raw samples"):
+        serve_over_time_routed(tiers, 45_000, 90_000)

@@ -182,3 +182,75 @@ def test_range_join_no_nested_loop_plan(spark):
     plan = _plan(spark, range_join(l, iv, left_ts="lts", start="start",
                                    end="end", bucket_ms=100))
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def _rand_frames(spark, seed, n_left=400, n_right=150, keys=3, span=2000):
+    """Deterministic pseudo-random frames with ts collisions (mulberry-ish
+    LCG so runs are reproducible without RNG imports)."""
+    def lcg(x):
+        return (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+
+    x, lrows, rrows = seed, [], []
+    for i in range(n_left):
+        x = lcg(x)
+        lrows.append(Row(k=f"k{x % keys}", lts=(x >> 8) % span, pay=f"p{i}"))
+    for i in range(n_right):
+        x = lcg(x)
+        rrows.append(Row(k=f"k{x % keys}", rts=(x >> 8) % span,
+                         v=float((x >> 16) % 97), s=f"r{i}"))
+    # right must be unique per (k, rts): keep the max-v representative
+    uniq = {}
+    for r in rrows:
+        cur = uniq.get((r.k, r.rts))
+        if cur is None or r.v > cur.v:
+            uniq[(r.k, r.rts)] = r
+    l = spark.createDataFrame(lrows, "k string, lts long, pay string")
+    r = spark.createDataFrame(list(uniq.values()),
+                              "k string, rts long, v double, s string")
+    return l, r
+
+
+def _asof_dict(df):
+    return {
+        (r["k"], r["lts"], r["pay"]): (r["rts"], r["v"], r["s"])
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("block_ms", [1, 7, 100, 500, 10_000])
+def test_asof_blocked_equals_plain(spark, block_ms):
+    """The hot-key sharded variant must be row-for-row identical to the
+    plain carry — block boundaries (including blocks with no right rows,
+    requiring multi-block seed carry) can't change the answer."""
+    from pq_spark.timejoin import asof_join_blocked
+
+    l, r = _rand_frames(spark, seed=20260818)
+    plain = _asof_dict(asof_join(l, r, on=["k"], left_ts="lts",
+                                 right_ts="rts"))
+    blocked = _asof_dict(asof_join_blocked(l, r, on=["k"], left_ts="lts",
+                                           right_ts="rts", block_ms=block_ms))
+    assert blocked == plain
+
+
+def test_asof_blocked_tolerance_equals_plain(spark):
+    from pq_spark.timejoin import asof_join_blocked
+
+    l, r = _rand_frames(spark, seed=7)
+    plain = _asof_dict(asof_join(l, r, on=["k"], left_ts="lts",
+                                 right_ts="rts", tolerance_ms=40))
+    blocked = _asof_dict(asof_join_blocked(l, r, on=["k"], left_ts="lts",
+                                           right_ts="rts", block_ms=64,
+                                           tolerance_ms=40))
+    assert blocked == plain
+
+
+def test_asof_blocked_partitions_by_block(spark):
+    """The scale property the variant exists for: the main carry window
+    partitions by (key, block) — a hot key's rows spread over many
+    reducers instead of one."""
+    from pq_spark.timejoin import asof_join_blocked
+
+    l, r = _rand_frames(spark, seed=3)
+    plan = _plan(spark, asof_join_blocked(l, r, on=["k"], left_ts="lts",
+                                          right_ts="rts", block_ms=100))
+    assert re.search(r"hashpartitioning\(k#\d+[^)]*_blk", plan), plan

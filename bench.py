@@ -245,6 +245,10 @@ def run_query_bench(spark, sf_dir: str, reps: int = 3) -> tuple[dict, dict]:
         # round-5: composed multi-operator stress (topk ∘ sum-by ∘ rate) —
         # single-family headlines hide composed-plan regressions
         "pq_stress_topk_rate",
+        # round-7: time-series joins + tier routing (new operator families
+        # get headline perf ownership the round they land)
+        "ts_asof_join",
+        "tier_routed_window",
     ]
     # warm-up pass (codegen/JIT/broadcast amortization) — not recorded
     for name in names:

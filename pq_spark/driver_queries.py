@@ -2890,6 +2890,36 @@ FROM srv GROUP BY wend, et, ub"""
 register("tier_routed_window", _routed_window_query, _ROUTED_WINDOW_SQL)
 
 
+# -- incremental dedup against a prior-corpus manifest ------------------------
+def _incremental_dedup_query(spark, sf):
+    """A new crawl increment (here: the whole documents table) deduped
+    against the content-hash manifest of an already-ingested corpus
+    (deterministically: docs with doc_id % 3 == 0) — the recurring-crawl
+    shape where 100 TB of history is consulted as a hash manifest, never
+    re-read. In production the manifest is stored hash-bucketed
+    (textops.write_hash_manifest) so the history side of the anti-join
+    plans zero Exchanges (pinned by tests/test_textops_scale.py); the
+    driver row checks the join/collapse semantics against SQL
+    NOT EXISTS."""
+    docs = _docs(spark, sf)
+    prior = textops.hash_manifest(docs.filter(F.col("doc_id") % 3 == 0))
+    return textops.incremental_dedup(docs, prior)
+
+
+register(
+    "dedup_incremental",
+    _incremental_dedup_query,
+    f"""WITH h AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS text_hash FROM documents
+),
+p AS (SELECT DISTINCT text_hash FROM h WHERE doc_id % 3 = 0)
+SELECT text_hash, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM h WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.text_hash = h.text_hash)
+GROUP BY text_hash""",
+)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -3157,6 +3187,17 @@ _DEFERRED = [
                                # order-statistic machinery; green r06 +
                                # both canaries; deferred to admit
                                # tier_routed_window
+    # fourth round-7 rotation: admit incremental dedup (new-increment
+    # anti-join against the prior-corpus hash manifest)
+    "dedup_exact",             # family: exact content-hash dedup — its
+                               # hash+groupBy machinery is a strict
+                               # subset of dedup_incremental (same norm,
+                               # same md5, same min-id keeper collapse,
+                               # plus the manifest anti-join) and
+                               # dedup_exact_streamed keeps the exact-
+                               # hash family in-window; green r01-r06 +
+                               # both canaries; deferred to admit
+                               # dedup_incremental
 ]
 
 for _n in _DEFERRED:

@@ -71,6 +71,54 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def hash_manifest(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct content-hash manifest of an already-ingested corpus — the
+    state an INCREMENTAL pipeline keeps between crawls so a new increment
+    dedups against 100 TB of history without re-reading it (the manifest
+    is one 32-char hash per distinct document, ~3 orders of magnitude
+    smaller than the corpus)."""
+    return docs.select(
+        F.md5(norm_text(F.col(text_col))).alias("text_hash")
+    ).distinct()
+
+
+def write_hash_manifest(
+    manifest: DataFrame, table_name: str, path: str, buckets: int = 32
+) -> None:
+    """Persist the manifest BUCKETED by hash: every later increment's
+    anti-join reads the stored side co-located — only the (small) new
+    increment shuffles, the corpus-history side plans NO Exchange
+    regardless of its size. Same catalog mechanics as
+    rollup/tiers.py::write_bucketed_tier."""
+    (
+        manifest.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, "text_hash")
+        .sortBy("text_hash")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame, manifest: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW crawl increment against the prior-corpus manifest:
+    drop every row whose content hash already exists (left-anti), then
+    collapse within-increment repeats to the min-id keeper — one row per
+    genuinely-new content hash with its in-increment dup_count. Null
+    hashes (null text) never match history, matching SQL NOT EXISTS."""
+    hashed = new_docs.select(
+        F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("text_hash")
+    )
+    fresh = hashed.join(manifest.select("text_hash"), "text_hash", "left_anti")
+    return fresh.groupBy("text_hash").agg(
+        F.min(id_col).alias("keeper_doc_id"),
+        F.count("*").cast("long").alias("dup_count"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",

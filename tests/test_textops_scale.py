@@ -527,3 +527,67 @@ def test_mixture_sample_semantics(spark):
     assert kept_s2 == 100
     for i in exp:
         assert abs(out[i]["accept_rate"] - rates[f"s{i % 4}"]) < 1e-15
+
+
+def test_incremental_dedup_semantics(spark):
+    """New-increment rows drop iff their content hash exists in the prior
+    manifest; in-increment repeats collapse to the min-id keeper; null
+    text never matches history (NOT EXISTS parity)."""
+    from pq_spark.textops import hash_manifest, incremental_dedup
+
+    prior = spark.createDataFrame(
+        [(0, "seen before"), (1, "also seen")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "Seen   BEFORE "),   # normalizes to a prior hash → dropped
+            (11, "brand new"),
+            (12, "brand  NEW"),       # in-increment repeat of 11 → collapsed
+            (13, "also seen"),        # prior → dropped
+            (14, None),               # null text → kept (never matches)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["keeper_doc_id"]: r["dup_count"]
+        for r in incremental_dedup(new, hash_manifest(prior)).collect()
+    }
+    assert got == {11: 2, 14: 1}
+
+
+def test_incremental_dedup_bucketed_manifest_no_history_exchange(
+    spark, tmp_path
+):
+    """The 100-TB property: with the manifest stored hash-bucketed, the
+    anti-join shuffles ONLY the new increment — exactly one Exchange in
+    the plan, and it is not on the bucketed-scan side."""
+    import re
+
+    from pq_spark.textops import (
+        hash_manifest, incremental_dedup, write_hash_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i % 40}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    write_hash_manifest(hash_manifest(docs.filter(F.col("doc_id") % 6 == 0)),
+                        "hash_manifest_test", str(tmp_path / "manifest"))
+    stored = spark.table("hash_manifest_test")
+    out = incremental_dedup(docs, stored)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    exchanges = [l for l in plan.splitlines()
+                 if re.match(r"^\(\d+\) Exchange", l)]
+    # one Exchange for the increment side of the anti-join + one for the
+    # final keeper groupBy; the bucketed history scan plans none
+    assert len(exchanges) <= 2, plan
+    assert "SelectedBucketsCount" in plan, plan
+    # and the result is still correct on the bucketed path: multiples of 6
+    # cover exactly the EVEN text residues mod 40 (gcd(6,40)=2), so the
+    # survivors are the odd residues, kept under their min doc_id
+    got = {r["keeper_doc_id"] for r in out.collect()}
+    assert got == set(range(1, 40, 2))

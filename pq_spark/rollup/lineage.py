@@ -42,8 +42,10 @@ catalog seam needs, delivered reader-side):
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -434,6 +436,84 @@ class TierStore:
         )
         result.pending = None
         return result
+
+    # -- retention ------------------------------------------------------------
+
+    def apply_retention(self, table: str, cutoff_date: str) -> dict:
+        """Logically EXPIRE partitions older than the cutoff (``part <
+        cutoff_date`` — ISO dates order lexicographically) and publish a
+        snapshot without them: the retention half of the north rule's
+        '1m/1h/1d retention tiers', applied per tier with its own horizon
+        (e.g. raw+1m kept days, 1h kept months, 1d kept forever).
+
+        Expiry is a SNAPSHOT operation, not a delete: the expired
+        partitions' manifests move to ``_lineage/_expired/`` (so the pure
+        manifest scan no longer sees them) and data files stay on disk —
+        every retained snapshot id still time-travels to the full table
+        until :meth:`vacuum` reclaims unreferenced dirs. The action is
+        recorded in the snapshot log."""
+        parts = self._scan_manifest_parts(table)
+        expired = sorted(p for p in parts if p < cutoff_date)
+        exp_dir = os.path.join(self._lineage_dir(table), "_expired")
+        if expired:
+            os.makedirs(exp_dir, exist_ok=True)
+            for p in expired:
+                os.replace(
+                    self._manifest_path(table, p),
+                    os.path.join(exp_dir, f"{p}.json"),
+                )
+        sid = self._publish_snapshot(table)
+        self._append_snapshot(
+            table,
+            {"action": "retention", "cutoff": cutoff_date,
+             "expired": expired, "snapshot": sid, "ts": time.time()},
+        )
+        return {"expired": expired, "snapshot": sid}
+
+    def vacuum(self, table: str, retain_snapshots: int = 2) -> dict:
+        """Physically reclaim data dirs referenced by NO retained snapshot
+        and drop snapshot manifests beyond the horizon, so time travel past
+        it fails loudly (FileNotFoundError) instead of reading half-deleted
+        data. Retained = the newest ``retain_snapshots`` snapshot ids (the
+        CURRENT pointer is always among them) plus everything the live
+        partition manifests reference (an unpublished staged commit is
+        never reclaimed)."""
+        root = os.path.join(self.base_path, table)
+        d = self._snapshots_dir(table)
+        ids = sorted(
+            int(fn[1:-5])
+            for fn in (os.listdir(d) if os.path.isdir(d) else [])
+            if fn.startswith("v") and fn.endswith(".json")
+        )
+        keep = set(ids[-max(int(retain_snapshots), 1):])
+        cur = self.current_snapshot_id(table)
+        if cur is not None:
+            keep.add(cur)
+        referenced = set(self._scan_manifest_parts(table).values())
+        for sid in keep:
+            snap = self.read_snapshot(table, sid)
+            if snap is not None:
+                referenced.update(snap["parts"].values())
+        # candidate data dirs: snapshot-era data/<cid>/date=* plus legacy
+        # root-level date=*
+        candidates = [
+            os.path.relpath(p, root)
+            for p in glob.glob(os.path.join(root, "data", "*", "date=*"))
+            + glob.glob(os.path.join(root, "date=*"))
+        ]
+        removed = sorted(rel for rel in candidates if rel not in referenced)
+        for rel in removed:
+            shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+        for cid_dir in glob.glob(os.path.join(root, "data", "*")):
+            if os.path.isdir(cid_dir) and not os.listdir(cid_dir):
+                os.rmdir(cid_dir)
+        dropped = sorted(set(ids) - keep)
+        for sid in dropped:
+            try:
+                os.remove(os.path.join(d, f"v{sid}.json"))
+            except OSError:
+                pass
+        return {"removed_dirs": removed, "dropped_snapshots": dropped}
 
     def read(self, spark, table: str, snapshot_id: int | None = None) -> DataFrame:
         """Read the table at CURRENT (default) or at a retained snapshot id

@@ -841,3 +841,47 @@ def test_serve_routed_cross_tier_exactness(spark, samples):
     # no qualifying tier → loud refusal, not an approximate answer
     with _pytest.raises(ValueError, match="raw samples"):
         serve_over_time_routed(tiers, 45_000, 90_000)
+
+
+def test_retention_expiry_time_travel_and_vacuum(spark, samples, tmp_path):
+    """Retention is a snapshot operation: expiry publishes a CURRENT
+    without the old partitions while retained snapshots still time-travel
+    to the full table; vacuum then reclaims unreferenced data dirs and
+    makes travel past the horizon fail loudly."""
+    import pytest as _pytest
+
+    store = TierStore(str(tmp_path / "ret"))
+    tier = with_date(rollup_tier(samples, "1m"))
+    store.commit(tier, "tier_1m")
+    pre_sid = store.current_snapshot_id("tier_1m")
+    dates = sorted(r["date"] for r in tier.select("date").distinct().collect())
+    assert len(dates) >= 2, "fixture must span multiple dates"
+    cutoff = dates[1]
+
+    r = store.apply_retention("tier_1m", cutoff)
+    assert r["expired"] == dates[:1]
+    live = sorted(
+        str(x["date"]) for x in store.read(spark, "tier_1m")
+        .select("date").distinct().collect()
+    )
+    assert live == dates[1:]
+    # retained snapshot still reads the FULL table (time travel)
+    old = sorted(
+        str(x["date"]) for x in store.read(spark, "tier_1m", snapshot_id=pre_sid)
+        .select("date").distinct().collect()
+    )
+    assert old == dates
+    # idempotent: a second pass expires nothing, snapshot converges
+    assert store.apply_retention("tier_1m", cutoff)["expired"] == []
+
+    v = store.vacuum("tier_1m", retain_snapshots=1)
+    assert v["removed_dirs"], "expired partition dirs must be reclaimed"
+    assert pre_sid in v["dropped_snapshots"]
+    # CURRENT still complete after vacuum...
+    assert sorted(
+        str(x["date"]) for x in store.read(spark, "tier_1m")
+        .select("date").distinct().collect()
+    ) == dates[1:]
+    # ...and travel past the horizon fails loudly, not half-reads
+    with _pytest.raises(FileNotFoundError):
+        store.read(spark, "tier_1m", snapshot_id=pre_sid)

@@ -346,8 +346,17 @@ class TierStore:
             # stable atomic column so the layout is deterministic for a
             # deterministic input.
             par = df.sparkSession.sparkContext.defaultParallelism
-            max_rows = max(int(fps[p]["rows"]) for p in stale)
-            k = max(1, min(par, -(-max_rows // self.target_rows_per_file)))
+            # split width PER stale partition, from its exact row count:
+            # a global max-based width would shatter a small date committed
+            # alongside a big one into max-width tiny files (the round-6
+            # small-tier tax, reappearing WITHIN a mixed-size commit)
+            k_by_part = {
+                str(p): max(
+                    1,
+                    min(par, -(-int(fps[p]["rows"]) // self.target_rows_per_file)),
+                )
+                for p in stale
+            }
             atomic = [
                 f.name for f in out.schema.fields
                 if f.name != part_col
@@ -356,19 +365,31 @@ class TierStore:
             ]
             pref = [c for c in ("skey", "sig", "bucket_ts", "block_ts") if c in atomic]
             split_col = (pref or atomic or [None])[0]
-            split = (
-                F.pmod(F.xxhash64(F.col(split_col)), F.lit(k))
-                if split_col is not None and k > 1
-                else F.lit(0)
-            )
+            if split_col is not None and max(k_by_part.values()) > 1:
+                kmap = F.create_map(
+                    *[x for p, k in sorted(k_by_part.items())
+                      for x in (F.lit(p), F.lit(k))]
+                )
+                split = F.coalesce(
+                    F.pmod(
+                        F.xxhash64(F.col(split_col)),
+                        F.element_at(kmap, F.col(part_col).cast("string")),
+                    ),
+                    F.lit(0),
+                )
+            else:
+                split = F.lit(0)
+            # explicit numPartitions: AQE coalesces column-only
+            # repartitions back down (small-in-bytes tier outputs
+            # collapse to ~1 writer task); an explicit count pins the
+            # write tasks regardless of byte-size heuristics. Hash
+            # collisions between (date, split) groups can only MERGE
+            # writer tasks (fewer files), never fragment; padding the
+            # task count to the session parallelism keeps collision odds
+            # low while empty partitions write no files at all.
+            total_k = max(sum(k_by_part.values()), par)
             (
-                # explicit numPartitions: AQE coalesces column-only
-                # repartitions back down (small-in-bytes tier outputs
-                # collapse to ~1 writer task); an explicit count pins the
-                # write tasks regardless of byte-size heuristics. k per
-                # stale partition, so k=1 still writes each date from its
-                # own task rather than funneling all dates through one.
-                out.repartition(k * len(stale), F.col(part_col), split)
+                out.repartition(total_k, F.col(part_col), split)
                 .write.mode("error")
                 .partitionBy(part_col)
                 .parquet(os.path.join(result.table_path, data_rel))
@@ -514,6 +535,70 @@ class TierStore:
             except OSError:
                 pass
         return {"removed_dirs": removed, "dropped_snapshots": dropped}
+
+    def compact(self, spark, table: str, slack_files: int = 0) -> dict:
+        """Small-file compaction — the ``rewrite_data_files`` maintenance
+        action of an Iceberg table, expressed on the manifest store: every
+        live partition whose parquet file count exceeds its row-derived
+        writer width (``ceil(rows / target_rows_per_file)``, capped at the
+        session parallelism) by more than ``slack_files`` is rewritten into
+        a fresh immutable ``data/<cid>/`` directory at the correct width,
+        and a new snapshot is published.
+
+        Data is bit-unchanged: the partition manifests keep their input
+        FINGERPRINTS (compaction rewrites layout, not rows), so the next
+        incremental commit still skips these partitions. Old files stay on
+        disk — every retained snapshot id still time-travels to the
+        pre-compaction layout until :meth:`vacuum` reclaims them. At 100 TB
+        this is the periodic maintenance job that keeps scan task counts
+        proportional to data size after a history of mixed-width commits
+        or a retuned ``target_rows_per_file``."""
+        from ..engine.runner import configure_session
+
+        configure_session(spark)
+        root = os.path.join(self.base_path, table)
+        parts = self._scan_manifest_parts(table)
+        par = spark.sparkContext.defaultParallelism
+        frag: dict[str, tuple[str, int]] = {}  # part -> (rel dir, want width)
+        for part, rel in sorted(parts.items()):
+            m = self.read_manifest(table, part) or {}
+            rows = int((m.get("fingerprint") or {}).get("rows", 0))
+            want = max(1, min(par, -(-rows // self.target_rows_per_file)))
+            have = len(glob.glob(os.path.join(root, rel, "*.parquet")))
+            if have > want + int(slack_files):
+                frag[part] = (rel, want)
+        if not frag:
+            return {"rewritten": [], "snapshot": self.current_snapshot_id(table)}
+
+        cid = uuid.uuid4().hex[:12]
+        data_rel = os.path.join("data", cid)
+        for part, (rel, want) in frag.items():
+            df = spark.read.parquet(os.path.join(root, rel))
+            split_col = next(
+                (c for c in ("skey", "sig", "bucket_ts", "block_ts") if c in df.columns),
+                df.columns[0] if df.columns else None,
+            )
+            split = (
+                F.pmod(F.xxhash64(F.col(split_col)), F.lit(want))
+                if split_col is not None and want > 1
+                else F.lit(0)
+            )
+            (
+                df.repartition(want, split)
+                .write.mode("error")
+                .parquet(os.path.join(root, data_rel, f"date={part}"))
+            )
+            m = self.read_manifest(table, part) or {"partition": part}
+            m["data_path"] = os.path.join(data_rel, f"date={part}")
+            m["compacted_at"] = time.time()
+            self._write_manifest(table, part, m)
+        sid = self._publish_snapshot(table)
+        self._append_snapshot(
+            table,
+            {"action": "compact", "rewritten": sorted(frag),
+             "snapshot": sid, "ts": time.time()},
+        )
+        return {"rewritten": sorted(frag), "snapshot": sid}
 
     def read(self, spark, table: str, snapshot_id: int | None = None) -> DataFrame:
         """Read the table at CURRENT (default) or at a retained snapshot id

@@ -754,6 +754,77 @@ def test_commit_write_parallelism(spark, tmp_path, samples):
     )
     assert len(files1) == 1, files1
 
+    # mixed-size commit: the split width is PER partition — a small date
+    # committed alongside a big one must not inherit the big date's width
+    # (it would shatter into width-many tiny files). Floor between the two
+    # sizes: big date (all rows) shards, tiny date (1 row) writes one file.
+    quietest = min(rows_per_date, key=rows_per_date.get)
+    one_row = (
+        tier.filter(F.col("date") == quietest)
+        .orderBy("skey", "bucket_ts")
+        .limit(1)
+    )
+    mixed_src = tier.filter(F.col("date") == busiest).unionByName(one_row)
+    mixed = TierStore(
+        str(tmp_path / "mixed"),
+        target_rows_per_file=max(2, rows_per_date[busiest] // 8),
+    )
+    mixed.commit(mixed_src, "tier_1m")
+    big_files = glob.glob(
+        str(tmp_path / "mixed" / "tier_1m" / "data" / "*" / f"date={busiest}" / "*.parquet")
+    )
+    small_files = glob.glob(
+        str(tmp_path / "mixed" / "tier_1m" / "data" / "*" / f"date={quietest}" / "*.parquet")
+    )
+    assert len(big_files) > 1, big_files
+    assert len(small_files) == 1, small_files
+    assert mixed.read(spark, "tier_1m").count() == mixed_src.count()
+
+
+def test_compact_rewrites_fragmented_partitions(spark, tmp_path, samples):
+    """rewrite_data_files analogue: a store written at a too-fine file
+    granularity is compacted to the row-derived width as a NEW snapshot —
+    data bit-unchanged (next commit still skips every partition), the
+    pre-compaction snapshot still time-travels to the old layout, and
+    vacuum reclaims the fragmented files after the horizon passes."""
+    import glob
+
+    path = str(tmp_path / "store")
+    tier = with_date(rollup_tier(samples, "1m"))
+    # fragment: granularity floor of 1 row → parallelism-wide files per date
+    TierStore(path, target_rows_per_file=1).commit(tier, "tier_1m")
+    store = TierStore(path, target_rows_per_file=10**9)
+    pre_sid = store.current_snapshot_id("tier_1m")
+    pre_files = glob.glob(os.path.join(path, "tier_1m", "data", "*", "date=*", "*.parquet"))
+    assert len(pre_files) > tier.select("date").distinct().count()
+
+    res = store.compact(spark, "tier_1m")
+    assert res["rewritten"], res
+    assert res["snapshot"] != pre_sid
+    # every live partition now at the row-derived width (1 file here)
+    snap = store.read_snapshot("tier_1m", res["snapshot"])
+    for part, rel in snap["parts"].items():
+        files = glob.glob(os.path.join(path, "tier_1m", rel, "*.parquet"))
+        assert len(files) == 1, (part, files)
+    # rows bit-unchanged
+    got = store.read(spark, "tier_1m")
+    assert got.count() == tier.count()
+    cmp_cols = [
+        f.name for f in got.schema.fields if f.dataType.typeName() != "map"
+    ]
+    assert got.select(*cmp_cols).exceptAll(tier.select(*cmp_cols)).count() == 0
+    # fingerprints kept → an incremental re-commit skips everything
+    r2 = store.commit(tier, "tier_1m")
+    assert not r2.written and len(r2.skipped) == len(snap["parts"])
+    # time travel to the pre-compaction layout still works
+    assert store.read(spark, "tier_1m", snapshot_id=pre_sid).count() == tier.count()
+    # idempotent: nothing left over the width
+    assert store.compact(spark, "tier_1m")["rewritten"] == []
+    # vacuum past the horizon reclaims the fragmented dirs; old id fails loudly
+    store.vacuum("tier_1m", retain_snapshots=1)
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, "tier_1m", snapshot_id=pre_sid)
+
 
 def test_route_tier_selection():
     """Static routing decision: coarsest tier dividing interval, range,

@@ -55,8 +55,7 @@ def test_entry_smoke(spark):
     assert df.columns
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_against_oracle(spark, name):
+def _check_query(spark, name):
     sdf = QUERIES[name](spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
@@ -76,3 +75,27 @@ def test_query_against_oracle(spark, name):
     b = _normalize(drows, dcols)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+# thread-pooled: the 110-query battery is Spark/DuckDB job latency, not
+# compute — all queries run through one wide pool (every thread gets its
+# own DuckDB connection; Spark's scheduler is thread-safe), so the wall
+# time is bounded by max(slowest single query, sum/workers) instead of a
+# per-chunk serial sum. A failure reports EVERY failing query by name.
+_NAMES = sorted(QUERIES)
+
+
+def test_query_against_oracle(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(name):
+        try:
+            _check_query(spark, name)
+            return None
+        except Exception:
+            return f"--- {name} ---\n{traceback.format_exc(limit=4)}"
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        failures = [f for f in ex.map(run, _NAMES) if f]
+    assert not failures, "\n".join(failures)

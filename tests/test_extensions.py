@@ -29,6 +29,18 @@ def _cells(result: VectorFrame):
     )
 
 
+def _cells_many(eng, sdf, queries, **kw):
+    """Evaluate independent queries concurrently (wall time here is Spark
+    job latency, not compute) and return {query: cells}."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(q):
+        return q, _cells(eng.evaluate(q, sdf, **kw))
+
+    with ThreadPoolExecutor(max_workers=min(8, len(queries))) as ex:
+        return dict(ex.map(one, queries))
+
+
 def test_reference_parity_rejects_extensions(spark, samples):
     eng = PqEngine(spark, extensions=False)
     for q in ["quantile(0.5, m)", "stddev(m)", "clamp(m, 0, 2)",
@@ -39,10 +51,9 @@ def test_reference_parity_rejects_extensions(spark, samples):
 
 def test_quantile_stddev(spark, samples):
     eng = PqEngine(spark, extensions=True)
-    got = _cells(eng.evaluate("quantile(0.5, m)", samples))
-    assert got[0][2] == 3.0
-    got = _cells(eng.evaluate("stdvar(m)", samples))
-    assert abs(got[0][2] - 8.0 / 3.0) < 1e-12
+    got = _cells_many(eng, samples, ["quantile(0.5, m)", "stdvar(m)"])
+    assert got["quantile(0.5, m)"][0][2] == 3.0
+    assert abs(got["stdvar(m)"][0][2] - 8.0 / 3.0) < 1e-12
 
 
 def test_quantile_phi_nan_and_out_of_range(spark, samples):
@@ -52,13 +63,15 @@ def test_quantile_phi_nan_and_out_of_range(spark, samples):
     import math
 
     eng = PqEngine(spark, extensions=True)
+    got = _cells_many(eng, samples, [
+        "quantile(NaN, m)", "quantile_over_time(NaN, m[1s])",
+        "quantile(-0.5, m)", "quantile(1.5, m)"])
     for q in ["quantile(NaN, m)", "quantile_over_time(NaN, m[1s])"]:
-        got = _cells(eng.evaluate(q, samples))
-        assert got and all(math.isnan(v) for (_, _, v) in got), q
-    got = _cells(eng.evaluate("quantile(-0.5, m)", samples))
-    assert got and all(v == float("-inf") for (_, _, v) in got)
-    got = _cells(eng.evaluate("quantile(1.5, m)", samples))
-    assert got and all(v == float("inf") for (_, _, v) in got)
+        assert got[q] and all(math.isnan(v) for (_, _, v) in got[q]), q
+    g = got["quantile(-0.5, m)"]
+    assert g and all(v == float("-inf") for (_, _, v) in g)
+    g = got["quantile(1.5, m)"]
+    assert g and all(v == float("inf") for (_, _, v) in g)
 
 
 def test_clamp(spark, samples):
@@ -76,15 +89,13 @@ def test_label_replace(spark, samples):
 
 def test_logical_ops(spark, samples):
     eng = PqEngine(spark, extensions=True)
-    got = _cells(eng.evaluate("m and n", samples))
+    got = _cells_many(eng, samples, ["m and n", "m unless n", "m or n"])
     # 'and' keeps lhs samples whose match-labels exist on the rhs
-    assert [dict(l)["a"] for (_, l, _) in got] == ["x1"]
-    got = _cells(eng.evaluate("m unless n", samples))
-    assert sorted(dict(l)["a"] for (_, l, _) in got) == ["y2", "z"]
+    assert [dict(l)["a"] for (_, l, _) in got["m and n"]] == ["x1"]
+    assert sorted(dict(l)["a"] for (_, l, _) in got["m unless n"]) == ["y2", "z"]
     # n's only series shares match-labels {a: x1} with an lhs series, so
     # 'or' contributes nothing beyond the three m series
-    got = _cells(eng.evaluate("m or n", samples))
-    assert len(got) == 3
+    assert len(got["m or n"]) == 3
 
 
 def test_rate(spark):
@@ -235,26 +246,32 @@ def test_high_fanout_over_time_fused_equivalence(spark):
         rows, "seq long, ts long, labels map<string,string>, name string, value double"
     )
     eng = PqEngine(spark, strict=False)
+    fns = ["count_over_time", "sum_over_time", "min_over_time",
+           "max_over_time", "avg_over_time", "last_over_time"]
 
-    for fn in ["count_over_time", "sum_over_time", "min_over_time",
-               "max_over_time", "avg_over_time", "last_over_time"]:
-        q = f"{fn}(v[60s])"
+    def run(fn):
+        vf = eng.evaluate(f"{fn}(v[60s])", samples, interval_ms=1_000)
+        return fn, sorted(
+            (r["instant"], r["sig"], r["value"]) for r in vf.cells.collect()
+        )
 
-        def run():
-            vf = eng.evaluate(q, samples, interval_ms=1_000)
-            return sorted(
-                (r["instant"], r["sig"], r["value"]) for r in vf.cells.collect()
-            )
+    from concurrent.futures import ThreadPoolExecutor
 
-        assert 60 > Planner.FANOUT_SWITCH
-        fused = run()
-        old = Planner.FANOUT_SWITCH
-        try:
-            Planner.FANOUT_SWITCH = 10_000  # force the explode path
-            exploded = run()
-        finally:
-            Planner.FANOUT_SWITCH = old
-        assert fused == exploded and len(fused) > 0, fn
+    # one concurrent batch per PLAN PATH (FANOUT_SWITCH is planner-global
+    # state, so the two paths can't interleave — but within a path the six
+    # functions are independent jobs)
+    assert 60 > Planner.FANOUT_SWITCH
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        fused = dict(ex.map(run, fns))
+    old = Planner.FANOUT_SWITCH
+    try:
+        Planner.FANOUT_SWITCH = 10_000  # force the explode path
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            exploded = dict(ex.map(run, fns))
+    finally:
+        Planner.FANOUT_SWITCH = old
+    for fn in fns:
+        assert fused[fn] == exploded[fn] and len(fused[fn]) > 0, fn
 
 
 def test_hot_series_window_plans_shard_and_match(spark):
@@ -417,44 +434,53 @@ def test_histogram_quantile(spark):
         ]
         return spark.createDataFrame(data, SCHEMA)
 
-    def q(phi, sdf):
+    # every case is an independent (φ, histogram) evaluate — gather them
+    # all concurrently, assert after (wall time is job latency)
+    full = hist([("a", "1", 10), ("a", "2", 30), ("a", "+Inf", 30)])
+    heavy_inf = hist([("a", "1", 10), ("a", "2", 30), ("a", "+Inf", 40)])
+    neg_le = hist([("a", "-1", 5), ("a", "3", 9), ("a", "+Inf", 10)])
+    no_inf = hist([("a", "1", 10), ("a", "2", 30)])
+    bad_le = hist([("a", "1", 10), ("a", "oops", 20), ("a", "+Inf", 20)])
+    two_grp = hist([("a", "1", 10), ("a", "+Inf", 12),
+                    ("b", "1", 4), ("b", "+Inf", 4)])
+    jitter = hist([("a", "1", 10), ("a", "2", 9.999), ("a", "+Inf", 12)])
+    cases = {
+        "mid": (0.5, full), "top": (1.0, full), "inf_tail": (0.9, heavy_inf),
+        "neg_le": (0.2, neg_le), "no_inf": (0.5, no_inf),
+        "bad_le": (0.5, bad_le), "phi_hi": (1.5, two_grp),
+        "phi_lo": (-0.5, two_grp), "phi_nan": ("NaN", two_grp),
+        "jitter": (0.5, jitter),
+    }
+
+    def q(item):
+        name, (phi, sdf) = item
         got = _cells(eng.evaluate(f"histogram_quantile({phi}, h)", sdf,
                                   since_ms=1000, interval_ms=1000))
-        return {dict(l).get("g"): v for (_, l, v) in got}
+        return name, {dict(l).get("g"): v for (_, l, v) in got}
 
-    sdf = hist([("a", "1", 10), ("a", "2", 30), ("a", "+Inf", 30)])
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        got = dict(ex.map(q, cases.items()))
+
     # rank = 0.5*30 = 15 → bucket le=2: 1 + (2-1)*(15-10)/(30-10) = 1.25
-    assert q(0.5, sdf) == {"a": 1.25}
+    assert got["mid"] == {"a": 1.25}
     # rank = 30 is reached by the finite le=2 bucket → interpolates to 2.0
-    assert q(1.0, sdf) == {"a": 2.0}
-
+    assert got["top"] == {"a": 2.0}
     # +Inf bucket holds mass beyond the last finite edge → answer maxfin
-    sdf = hist([("a", "1", 10), ("a", "2", 30), ("a", "+Inf", 40)])
-    assert q(0.9, sdf) == {"a": 2.0}  # rank 36 > 30 → +Inf bucket → le=2
-
+    assert got["inf_tail"] == {"a": 2.0}  # rank 36 > 30 → +Inf → le=2
     # first bucket with le <= 0 answers its own le (no interpolation to 0)
-    sdf = hist([("a", "-1", 5), ("a", "3", 9), ("a", "+Inf", 10)])
-    assert q(0.2, sdf) == {"a": -1.0}  # rank 2 ≤ 5 → first bucket, le<0
-
+    assert got["neg_le"] == {"a": -1.0}  # rank 2 ≤ 5 → first bucket, le<0
     # malformed: no +Inf bucket → NaN; le must parse → series dropped
-    sdf = hist([("a", "1", 10), ("a", "2", 30)])
-    assert all(math.isnan(v) for v in q(0.5, sdf).values())
-    sdf = hist([("a", "1", 10), ("a", "oops", 20), ("a", "+Inf", 20)])
-    # the unparseable-le series is dropped; the rest still answers
-    assert q(0.5, sdf) == {"a": 1.0}
-
+    assert all(math.isnan(v) for v in got["no_inf"].values())
+    assert got["bad_le"] == {"a": 1.0}
     # φ out of range / NaN, per group
-    sdf = hist([("a", "1", 10), ("a", "+Inf", 12),
-                ("b", "1", 4), ("b", "+Inf", 4)])
-    assert q(1.5, sdf) == {"a": float("inf"), "b": float("inf")}
-    assert q(-0.5, sdf) == {"a": float("-inf"), "b": float("-inf")}
-    assert all(math.isnan(v) for v in q("NaN", sdf).values())
-
+    assert got["phi_hi"] == {"a": float("inf"), "b": float("inf")}
+    assert got["phi_lo"] == {"a": float("-inf"), "b": float("-inf")}
+    assert all(math.isnan(v) for v in got["phi_nan"].values())
     # monotonicity clamp: a float-jittered decreasing cumulative count
     # must not break the search (ensureMonotonic)
-    sdf = hist([("a", "1", 10), ("a", "2", 9.999), ("a", "+Inf", 12)])
-    got = q(0.5, sdf)["a"]  # rank 6 → first bucket: interp 0 + 1*6/10
-    assert abs(got - 0.6) < 1e-12
+    assert abs(got["jitter"]["a"] - 0.6) < 1e-12  # rank 6 → interp 6/10
 
 
 def test_double_exponential_smoothing(spark):
@@ -663,12 +689,13 @@ def test_limitk(spark):
     ]
     sdf = spark.createDataFrame(rows, SCHEMA)
 
-    def series(q, instant):
-        got = _cells(eng.evaluate(q, sdf, since_ms=1000, interval_ms=1000,
-                                  lookback_ms=1000))
-        return sorted(dict(l)["s"] for (i, l, v) in got if i == instant)
-
     q = "limitk(2, m) by (g)"
+    got = _cells_many(eng, sdf, [q, "limitk(0, m)", "limitk(9, m)"],
+                      since_ms=1000, interval_ms=1000, lookback_ms=1000)
+
+    def series(query, instant):
+        return sorted(dict(l)["s"] for (i, l, v) in got[query] if i == instant)
+
     assert series(q, 1999) == ["a", "b", "d"]  # g=1 → a,b; g=2 → d
     assert series(q, 2999) == ["b", "c", "d"]  # a stale → b,c step in
     assert series("limitk(0, m)", 1999) == []
@@ -699,16 +726,24 @@ def test_limit_ratio(spark):
                                   lookback_ms=1000))
         return {(i, dict(l)["s"]) for (i, l, v) in got}
 
-    whole = keyset("m")
-    kept, comp = keyset("limit_ratio(0.4, m)"), keyset("limit_ratio(-0.6, m)")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        whole_f = ex.submit(keyset, "m")
+        kept_f = ex.submit(keyset, "limit_ratio(0.4, m)")
+        comp_f = ex.submit(keyset, "limit_ratio(-0.6, m)")
+        kept2_f = ex.submit(keyset, "limit_ratio(0.4, m)")  # determinism
+        hi_f = ex.submit(keyset, "limit_ratio(1.5, m)")
+        zero_f = ex.submit(keyset, "limit_ratio(0, m)")
+    whole, kept, comp = whole_f.result(), kept_f.result(), comp_f.result()
     assert kept | comp == whole and not (kept & comp)
     assert kept and comp  # 40 series: both sides populated w.h.p.
     # per-series stability: a series kept at one instant is kept at all
     kept_series = {s for (_, s) in kept}
     assert kept == {(i, s) for (i, s) in whole if s in kept_series}
     # determinism + clamping
-    assert keyset("limit_ratio(0.4, m)") == kept
-    assert keyset("limit_ratio(1.5, m)") == whole
-    assert keyset("limit_ratio(0, m)") == set()
+    assert kept2_f.result() == kept
+    assert hi_f.result() == whole
+    assert zero_f.result() == set()
     with pytest.raises(PqError):
         PqEngine(spark, extensions=False).evaluate("limit_ratio(0.4, m)", sdf)

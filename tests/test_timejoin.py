@@ -217,19 +217,30 @@ def _asof_dict(df):
     }
 
 
-@pytest.mark.parametrize("block_ms", [1, 7, 100, 500, 10_000])
-def test_asof_blocked_equals_plain(spark, block_ms):
+def test_asof_blocked_equals_plain(spark):
     """The hot-key sharded variant must be row-for-row identical to the
     plain carry — block boundaries (including blocks with no right rows,
-    requiring multi-block seed carry) can't change the answer."""
+    requiring multi-block seed carry) can't change the answer. One plain
+    reference, every block width checked against it concurrently (the
+    parallel-battery pattern: wall time here is job latency, not compute)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pq_spark.timejoin import asof_join_blocked
 
     l, r = _rand_frames(spark, seed=20260818)
+    l, r = l.cache(), r.cache()
     plain = _asof_dict(asof_join(l, r, on=["k"], left_ts="lts",
                                  right_ts="rts"))
-    blocked = _asof_dict(asof_join_blocked(l, r, on=["k"], left_ts="lts",
-                                           right_ts="rts", block_ms=block_ms))
-    assert blocked == plain
+
+    def run(block_ms):
+        return block_ms, _asof_dict(
+            asof_join_blocked(l, r, on=["k"], left_ts="lts",
+                              right_ts="rts", block_ms=block_ms))
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        for block_ms, blocked in ex.map(run, [1, 7, 100, 500, 10_000]):
+            assert blocked == plain, block_ms
+    l.unpersist(), r.unpersist()
 
 
 def test_asof_blocked_tolerance_equals_plain(spark):

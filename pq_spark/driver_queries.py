@@ -2920,6 +2920,80 @@ GROUP BY text_hash""",
 )
 
 
+# -- exact duplicate-span removal (Lee et al. 2022 substring dedup) ----------
+register(
+    "text_dup_spans",
+    # The transform counterpart of text_dup_ngrams: rewrite each doc with
+    # every token covered by a cross-doc duplicate 5-gram REMOVED (the
+    # corpus pass substring dedup actually applies before training).
+    # Grams ride exchanges as 60-bit hashes; dup detection is the same
+    # min(doc)≠max(doc) aggregate; the rewrite is per-row JVM array
+    # logic. clean_text strings are hash-compared verbatim.
+    lambda spark, sf: textops.dup_span_removal(_docs(spark, sf), n=5),
+    f"""WITH w AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         CASE WHEN len(ws) >= 5
+              THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                   ws[i+3] || ' ' || ws[i+4]
+              ELSE array_to_string(ws, ' ') END AS g
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
+        FROM w)),
+gh AS (SELECT doc_id, pos, {_hash_sql('g', 'xdupspan')} AS gh FROM g),
+dup AS (SELECT gh FROM gh GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+st AS (SELECT doc_id, list(DISTINCT pos) AS starts
+       FROM gh JOIN dup USING (gh) GROUP BY doc_id),
+k AS (
+  SELECT w.doc_id, ws,
+         list_filter(range(1, len(ws) + 1),
+                     j -> len(list_filter(coalesce(starts, []),
+                                          p -> p < j AND j <= p + 5)) = 0)
+           AS kept
+  FROM w LEFT JOIN st USING (doc_id))
+SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(list_transform(kept, j -> ws[j]), ' '),
+                '') AS clean_text
+FROM k""",
+)
+
+
+# -- host-level curation stats + spam verdict ---------------------------------
+register(
+    "host_stats",
+    # RefinedWeb/C4-style host-level pass over the derived CC-shaped url
+    # (with_derived_url — the documents fixture carries source but no
+    # url; rollup/pages.py:64 builds the same shape for the page table):
+    # per host, page count, distinct-normalized-text count, within-host
+    # dup rate, mean token length, and the drop-the-host spam verdict
+    # (cast to int — bool reprs differ across engines). One hash groupBy
+    # on host; the distinct-text count is Spark's two-phase distinct
+    # aggregate, so a hot host never funnels to one reducer.
+    lambda spark, sf: textops.host_stats(
+        textops.with_derived_url(_docs(spark, sf)), min_mean_tokens=50.0
+    ).withColumn("spam", F.col("spam").cast("long")),
+    f"""WITH h AS (
+  SELECT regexp_extract(
+           'https://' || source || '.example.org/d/' || CAST(doc_id AS VARCHAR),
+           '^https?://([^/]+)/', 1) AS host,
+         md5({_NORM_SQL}) AS th,
+         len(string_split({_NORM_SQL}, ' ')) AS nt
+  FROM documents),
+s AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT th) AS BIGINT) AS n_unique,
+         round(1.0 - count(DISTINCT th) * 1.0 / count(*) + 1e-7, 6) AS dup_rate,
+         round(avg(nt) + 1e-7, 6) AS mean_tokens
+  FROM h GROUP BY host)
+SELECT host, n_docs, n_unique, dup_rate, mean_tokens,
+       CAST(CASE WHEN dup_rate > 0.5 OR mean_tokens < 50.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS spam
+FROM s""",
+)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -3198,6 +3272,22 @@ _DEFERRED = [
                                # hash family in-window; green r01-r06 +
                                # both canaries; deferred to admit
                                # dedup_incremental
+    # fifth round-7 rotation: admit exact duplicate-span removal (the
+    # transform counterpart of the dup-ngram coverage measure) and the
+    # host-level curation stats row
+    "text_dup_ngrams",         # family: cross-doc duplicate n-grams — its
+                               # gram-hash + min≠max dup-detection
+                               # machinery is a strict subset of
+                               # text_dup_spans (same grams, same hash,
+                               # same dup aggregate, plus the rewrite);
+                               # green r06 + both canaries; deferred to
+                               # admit text_dup_spans
+    "pq_limitk",               # family: deterministic series limiting —
+                               # pq_limit_ratio (deferred, green) pins
+                               # the same xxhash-select machinery and
+                               # sample_mixture keeps hash-deterministic
+                               # selection in-window; green r06 + both
+                               # canaries; deferred to admit host_stats
 ]
 
 for _n in _DEFERRED:

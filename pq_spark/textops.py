@@ -1366,6 +1366,170 @@ def dup_ngram_coverage(
     )
 
 
+def dup_span_removal(
+    docs: DataFrame, n: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-SPAN removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": drop every substring
+    that also occurs in another document, here at word-``n``-gram
+    granularity): rewrite each document with every token removed whose
+    position is covered by an n-gram occurring in ≥ 2 DISTINCT
+    documents corpus-wide. ``dup_ngram_coverage`` *measures* this
+    signal; this operator *applies* it — the actual corpus transform a
+    substring-dedup pass performs before training. Docs shorter than
+    ``n`` tokens contribute one whole-doc gram (same convention as
+    ``dup_ngram_coverage``/``ngrams_col``), so a short doc duplicated
+    verbatim elsewhere is emptied rather than silently kept.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text) where clean_text
+    is the space-join of surviving normalized tokens ('' if everything
+    was removed).
+
+    Scale shape (100 TB): grams ride every exchange as (60-bit
+    portable hash, position) longs — never the gram text; corpus-dup
+    detection is ONE map-side-combinable aggregate keyed by gram hash
+    using min(doc)≠max(doc) ⇔ "≥ 2 distinct docs" (no countDistinct
+    buffer, so a boilerplate gram hitting millions of docs partially
+    aggregates map-side instead of funnelling rows to one reducer);
+    per-doc duplicate starts come back through a left-semi-filtered
+    collect_set bounded by doc length; the rewrite itself is pure
+    per-row array logic (sequence/filter/exists/transform — JVM
+    higher-order functions, whole-stage codegen, no Python). Nothing
+    is corpus-quadratic and nothing collects to the driver."""
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(ngrams_col(F.col(text_col), n)).alias("pos", "g"),
+    ).select(
+        id_col, "pos", portable_hash(F.col("g"), "xdupspan").alias("gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
+        .select("gh")
+    )
+    starts = (
+        grams.join(dup, "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_starts"))
+    )
+    w = words_col(F.col(text_col))
+    base = docs.select(F.col(id_col), w.alias("_ws"))
+    joined = base.join(starts, id_col, "left").select(
+        id_col, "_ws",
+        F.coalesce(F.col("_starts"), F.array().cast("array<int>")).alias("_st"),
+    )
+    # token j (1-based) is removed iff some duplicate gram starting at
+    # 0-based position p covers it: p < j <= p + n
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("_ws")),
+        lambda j: ~F.exists(
+            F.col("_st"), lambda p: (p < j) & (j <= p + F.lit(n))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_ws").cast("long").alias("n_tokens"),
+        (F.size("_ws") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda j: F.element_at(F.col("_ws"), j))
+        ).alias("clean_text"),
+    )
+
+
+def with_derived_url(
+    docs: DataFrame, id_col: str = "doc_id", source_col: str = "source",
+) -> DataFrame:
+    """Attach a deterministic Common-Crawl-shaped ``url`` derived from
+    (source, doc_id) — the documents fixture carries a source label but
+    no url; the north rule's page table does (rollup/pages.py:64 builds
+    the same shape). Lets every url-keyed curation operator run — and
+    be oracled — over the fixture without synthesizing external data."""
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col(source_col), F.lit(".example.org/d/"),
+            F.col(id_col).cast("string"),
+        ),
+    )
+
+
+def host_stats(
+    docs: DataFrame,
+    max_dup_rate: float = 0.5,
+    min_mean_tokens: float = 5.0,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Host-level curation statistics + spam verdict (the RefinedWeb /
+    C4 host-level pass: crawl curation aggregates per registered host
+    before per-doc filtering — mirror farms and template spam show up
+    as hosts whose pages are near-copies of each other or uniformly
+    tiny). Per host: page count, distinct normalized-text count, the
+    within-host duplicate rate 1 − distinct/count, mean whitespace
+    token length, and ``spam`` = dup_rate > max_dup_rate OR
+    mean_tokens < min_mean_tokens (the drop-the-whole-host verdict a
+    curation pipeline broadcast-joins back onto the corpus).
+
+    Scale shape (100 TB): host extraction is a JVM regexp on the url
+    (no UDF); the aggregate is ONE hash groupBy on host — count and
+    avg combine map-side; the distinct-text count shuffles (host,
+    text_hash) pairs once (Spark's two-phase distinct aggregate), so a
+    hot host spreads its first phase across partitions. Host
+    cardinality (millions) is tiny next to the corpus; the stats table
+    broadcasts."""
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)/", 1)
+    stats = (
+        docs.select(
+            host.alias("host"),
+            F.md5(norm_text(F.col(text_col))).alias("_th"),
+            F.size(words_col(F.col(text_col))).alias("_nt"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("_th").cast("long").alias("n_unique"),
+            F.avg("_nt").alias("_mean_nt"),
+        )
+    )
+    dup_rate = F.round(
+        F.lit(1.0) - F.col("n_unique") / F.col("n_docs") + F.lit(1e-7), 6
+    )
+    mean_tokens = F.round(F.col("_mean_nt") + F.lit(1e-7), 6)
+    return stats.select(
+        "host", "n_docs", "n_unique",
+        dup_rate.alias("dup_rate"),
+        mean_tokens.alias("mean_tokens"),
+        (
+            (dup_rate > F.lit(max_dup_rate))
+            | (mean_tokens < F.lit(min_mean_tokens))
+        ).alias("spam"),
+    )
+
+
+def host_spam_filter(
+    docs: DataFrame,
+    max_dup_rate: float = 0.5,
+    min_mean_tokens: float = 5.0,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every document served by a spam-verdict host (see
+    ``host_stats``). The stats table is host-cardinality-sized, so the
+    verdict comes back as a broadcast left-semi join — the corpus
+    never shuffles."""
+    ok = host_stats(
+        docs, max_dup_rate, min_mean_tokens, url_col, text_col, id_col
+    ).where(~F.col("spam")).select("host")
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)/", 1)
+    return docs.withColumn("_host", host).join(
+        F.broadcast(ok.withColumnRenamed("host", "_host")), "_host", "left_semi"
+    ).drop("_host")
+
+
 # ---------------------------------------------------------------------------
 # training-pipeline operators: sampling, cleaning, PII redaction,
 # contamination screening, shard assignment

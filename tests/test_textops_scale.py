@@ -591,3 +591,82 @@ def test_incremental_dedup_bucketed_manifest_no_history_exchange(
     # survivors are the odd residues, kept under their min doc_id
     got = {r["keeper_doc_id"] for r in out.collect()}
     assert got == set(range(1, 40, 2))
+
+
+def test_dup_span_removal_semantics(spark):
+    """Hand-computed rewrites: overlapping dup grams union their spans,
+    within-doc-only repeats don't qualify, short docs use the whole-doc
+    gram (a verbatim short duplicate is emptied), survivors keep their
+    normalized token order, and clean_text is '' (never null) when
+    everything is removed."""
+    from pq_spark.textops import dup_span_removal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),           # dup starts {0,1} -> emptied
+            (2, "x A  b c d e"),          # dup start {1} -> 'x' survives
+            (3, "zz yy"),                 # no cross-doc dup -> kept whole
+            (4, "a b c d e a b c d e"),   # starts {0,5} tile -> emptied
+            (6, "a b c d e f zz"),        # starts {0,1} -> 'zz' survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_removal(docs, n=5).collect()}
+    exp = {
+        1: (6, 6, ""),
+        2: (6, 5, "x"),       # mixed case/extra spaces normalize first
+        3: (2, 0, "zz yy"),
+        4: (10, 10, ""),
+        6: (7, 6, "zz"),
+    }
+    assert set(out) == set(exp)
+    for d, (nt, nr, clean) in exp.items():
+        assert out[d]["n_tokens"] == nt, d
+        assert out[d]["n_removed"] == nr, d
+        assert out[d]["clean_text"] == clean, d
+    # whole-doc grams: verbatim short duplicates are emptied
+    short = spark.createDataFrame(
+        [(1, "zz yy"), (2, "zz yy")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: (r["n_removed"], r["clean_text"])
+            for r in dup_span_removal(short, n=5).collect()}
+    assert out2 == {1: (2, ""), 2: (2, "")}
+
+
+def test_host_stats_and_spam_filter(spark):
+    """Host-level aggregation over the derived CC-shaped url: dup_rate
+    counts distinct NORMALIZED texts, the spam verdict triggers on
+    either rule, and host_spam_filter drops exactly the spam hosts'
+    docs."""
+    from pq_spark.textops import (
+        host_spam_filter, host_stats, with_derived_url,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six", "good"),
+            (2, "seven eight nine ten eleven twelve", "good"),
+            (3, "Copy  copy THE copy", "mirror"),   # normalizes equal to 4
+            (4, "copy copy the copy", "mirror"),
+            (5, "tiny", "short"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    d = with_derived_url(docs)
+    assert d.where(F.col("doc_id") == 1).head()["url"] == (
+        "https://good.example.org/d/1"
+    )
+    st = {r["host"]: r
+          for r in host_stats(d, max_dup_rate=0.4,
+                              min_mean_tokens=2.0).collect()}
+    g = st["good.example.org"]
+    assert (g["n_docs"], g["n_unique"], g["dup_rate"], g["spam"]) == (
+        2, 2, 0.0, False,
+    )
+    m = st["mirror.example.org"]
+    assert (m["n_unique"], m["dup_rate"], m["spam"]) == (1, 0.5, True)
+    s = st["short.example.org"]
+    assert (s["mean_tokens"], s["spam"]) == (1.0, True)
+    kept = {r["doc_id"]
+            for r in host_spam_filter(d, 0.4, 2.0).collect()}
+    assert kept == {1, 2}

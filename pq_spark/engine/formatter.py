@@ -302,11 +302,38 @@ def promhuman_lines(result, strict_checks: bool = True, verbose: bool = False) -
     raise TypeError(f"cannot format {type(result)}")
 
 
-def prominteractive_lines(result, strict_checks: bool = True) -> list[str]:
-    """Interactive human formatter (``-i``): per instant, a screen-refresh
-    block — ESC[2J ESC[1;1H, the timestamp, a dash, then one label-dump
-    line per sample (humanreadable.rs:103-130). Instant vectors only; the
-    reference panics with unimplemented!() otherwise
+def _render_interactive_frame(instant: int, rows: list) -> str:
+    """One ``-i`` screen-refresh block — ESC[2J ESC[1;1H, the timestamp,
+    a dash, then one label-dump line per sample
+    (humanreadable.rs:103-130)."""
+    from datetime import datetime, timezone
+
+    ts = datetime.fromtimestamp(instant // 1000, tz=timezone.utc)
+    lines = ["\x1b[2J\x1b[1;1H", ts.strftime("%Y-%m-%d %H:%M:%S"), "-"]
+    prefix = ""
+    for r in rows:
+        labels = dict(r["labels"])
+        name = labels.get("__name__")
+        if name is not None:
+            lines.append(name)
+            lines.append("\n")
+            prefix = "\t"
+        line = [f"{prefix}{k}: '{v}'" for k, v in sorted(labels.items())]
+        line.append("\t\t\t%s" % rust_f64_str(r["value"]))
+        lines.append("\t\t".join(line))
+    return "\n".join(lines)
+
+
+def prominteractive_frames(result, strict_checks: bool = True):
+    """Generator over ``-i`` frames: yields each instant's screen-refresh
+    block AS SOON as that instant's cells have streamed back to the
+    driver. The grid (instants only) is tiny and collected up front; the
+    cells stream through ``toLocalIterator`` on the instant-sorted plan,
+    which fetches one partition at a time — on a live terminal the first
+    frame renders while later partitions are still in flight, the
+    distributed analogue of the reference's redraw-as-the-stream-arrives
+    loop (humanreadable.rs:103-130, runner.rs:57). Instant vectors only;
+    the reference panics with unimplemented!() otherwise
     (humanreadable.rs:181-189)."""
     from ..errors import PqError
 
@@ -315,30 +342,19 @@ def prominteractive_lines(result, strict_checks: bool = True) -> list[str]:
     if strict_checks:
         _run_checks(result.checks)
 
-    rows = result.cells.orderBy("instant", "ord").collect()
-    by_instant: dict[int, list] = {}
-    for r in rows:
-        by_instant.setdefault(r["instant"], []).append(r)
     instants = [r["instant"] for r in result.grid.orderBy("instant").collect()]
-
-    from datetime import datetime, timezone
-
-    out = []
+    it = result.cells.orderBy("instant", "ord").toLocalIterator()
+    cur = next(it, None)
     for instant in instants:
-        ts = datetime.fromtimestamp(instant // 1000, tz=timezone.utc)
-        lines = ["\x1b[2J\x1b[1;1H", ts.strftime("%Y-%m-%d %H:%M:%S"), "-"]
-        prefix = ""
-        for r in by_instant.get(instant, []):
-            labels = dict(r["labels"])
-            name = labels.get("__name__")
-            if name is not None:
-                lines.append(name)
-                lines.append("\n")
-                prefix = "\t"
-            line = [
-                f"{prefix}{k}: '{v}'" for k, v in sorted(labels.items())
-            ]
-            line.append("\t\t\t%s" % rust_f64_str(r["value"]))
-            lines.append("\t\t".join(line))
-        out.append("\n".join(lines))
-    return out
+        rows = []
+        while cur is not None and cur["instant"] <= instant:
+            if cur["instant"] == instant:
+                rows.append(cur)
+            cur = next(it, None)
+        yield _render_interactive_frame(instant, rows)
+
+
+def prominteractive_lines(result, strict_checks: bool = True) -> list[str]:
+    """Batch form of ``prominteractive_frames`` (golden/pytest harness):
+    the full frame sequence as a list."""
+    return list(prominteractive_frames(result, strict_checks))

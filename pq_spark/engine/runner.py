@@ -250,13 +250,23 @@ class PqEngine:
 # ---------------------------------------------------------------------------
 
 
-def run_cli(spark: SparkSession, argv: list[str], input_lines: list[str]) -> bytes:
-    """Replicates the reference CLI (reference: src/cliopt.rs, tests/e2e.rs):
-    argv = ["pq", PROGRAM, flags...]; returns the output byte stream."""
+@dataclass
+class CliOptions:
+    program: str
+    since: int | None = None
+    until: int | None = None
+    interval: int | None = None
+    lookback: int | None = None
+    verbose: bool = False
+    interactive: bool = False
+
+
+def parse_cli_args(argv: list[str]) -> CliOptions:
+    """Parse the reference CLI surface (src/cliopt.rs):
+    argv = ["pq", PROGRAM, flags...]."""
     program = None
     since = until = None
     interval = lookback = None
-    extensions = False
     verbose = interactive = False
     i = 1
     while i < len(argv):
@@ -290,17 +300,131 @@ def run_cli(spark: SparkSession, argv: list[str], input_lines: list[str]) -> byt
         raise PqError("missing program")
     if since is not None and until is not None and since > until:
         raise PqError("end time is before start time")
-
-    engine = PqEngine(spark, strict=True, extensions=extensions)
-    result = engine.run_program(
-        program, input_lines, since_ms=since, until_ms=until,
-        interval_ms=interval, lookback_ms=lookback,
+    return CliOptions(
+        program, since, until, interval, lookback, verbose, interactive
     )
-    if verbose:
+
+
+def _run_cli_program(
+    spark: SparkSession, o: CliOptions, input_lines: list[str]
+) -> ProgramResult:
+    engine = PqEngine(spark, strict=True, extensions=False)
+    return engine.run_program(
+        o.program, input_lines, since_ms=o.since, until_ms=o.until,
+        interval_ms=o.interval, lookback_ms=o.lookback,
+    )
+
+
+def _emit_cli(result: ProgramResult, o: CliOptions) -> bytes:
+    if o.verbose:
         # per-record decode/map errors go to stderr (runner.rs:138-146)
         import sys
 
         for e in result.error_lines():
             print(e, file=sys.stderr)
-    lines = result.output_lines(verbose=verbose, interactive=interactive)
+    lines = result.output_lines(verbose=o.verbose, interactive=o.interactive)
     return ("".join(line + "\n" for line in lines)).encode()
+
+
+def run_cli(spark: SparkSession, argv: list[str], input_lines: list[str]) -> bytes:
+    """Replicates the reference CLI (reference: src/cliopt.rs, tests/e2e.rs):
+    argv = ["pq", PROGRAM, flags...]; returns the output byte stream."""
+    o = parse_cli_args(argv)
+    return _emit_cli(_run_cli_program(spark, o, input_lines), o)
+
+
+def consume_stream_lines(
+    spark: SparkSession,
+    ast: ProgramAST,
+    line_iter,
+    until_ms: int | None,
+    chunk_lines: int = 4096,
+) -> list[str]:
+    """Consume a (possibly unbounded) line iterator with the reference's
+    EARLY STREAM TERMINATION at ``--until`` (src/parse/mapping/mapper.rs:
+    50-53): the first mapped record whose ts exceeds the range end ENDS
+    the stream — later lines are never read, even ones whose ts would
+    fall back inside the range (the reference assumes an ordered live
+    stream). Lines are pulled in bounded chunks and each chunk is probed
+    with the engine's OWN decode+map plan (no second decoder to drift
+    from ingest semantics); the chunk is truncated at the first
+    offending record. Records that fail to decode/map, or map without a
+    timestamp, never terminate (unwrap_or(MIN) in the reference).
+    Without --until, or for a ts-less program, the iterator is drained
+    to EOF — exactly the reference's behavior on an unbounded pipe.
+
+    The consumed prefix is driver-resident by design: this is the
+    stdin/tail path, sequential in the reference too; bulk (re)play of
+    archived logs goes through the distributed file readers instead."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    probe = until_ms is not None and ast.mapper is not None
+    consumed: list[str] = []
+    while True:
+        chunk = list(itertools.islice(line_iter, chunk_lines))
+        if not chunk:
+            return consumed
+        if probe:
+            recs = ingest.map_records(
+                ingest.decode(ingest.lines_df(spark, chunk), ast.decoder),
+                ast.mapper,
+            )
+            first_bad = recs.where(
+                F.col("ts").isNotNull() & (F.col("ts") > F.lit(until_ms))
+            ).agg(F.min("seq").alias("m")).collect()[0]["m"]
+            if first_bad is not None:
+                # seq is 1-based within this chunk's lines_df
+                consumed.extend(chunk[: int(first_bad) - 1])
+                return consumed
+        consumed.extend(chunk)
+
+
+def run_cli_stream(
+    spark: SparkSession, argv: list[str], line_iter,
+    chunk_lines: int = 4096,
+) -> bytes:
+    """Streaming CLI entry: like ``run_cli`` but over a line ITERATOR
+    (stdin, a tailed file, a socket) with the reference's early
+    termination at ``--until`` — on an infinite input this returns once
+    the stream passes the range end. Output is byte-identical to
+    ``run_cli`` over the consumed prefix."""
+    o = parse_cli_args(argv)
+    ast = parse_program(o.program)
+    lines = consume_stream_lines(spark, ast, line_iter, o.until, chunk_lines)
+    return _emit_cli(_run_cli_program(spark, o, lines), o)
+
+
+def run_cli_live(
+    spark: SparkSession, argv: list[str], line_iter,
+    out=None, pace_s: float = 0.0, chunk_lines: int = 4096,
+):
+    """LIVE ``-i`` mode: consume the stream (early-terminating at
+    ``--until``), then write each screen-refresh frame to ``out`` and
+    FLUSH as soon as that instant's cells stream back from the cluster
+    (formatter.prominteractive_frames → toLocalIterator), redrawing the
+    terminal in place like the reference's interactive loop
+    (humanreadable.rs:103-130). ``pace_s`` optionally paces frames on
+    the wall clock for demo replay. Returns the number of frames
+    written; frame bytes are identical to the batch ``-i`` output."""
+    import sys
+    import time
+
+    o = parse_cli_args(argv)
+    if not o.interactive:
+        raise PqError("run_cli_live requires -i/--interactive")
+    ast = parse_program(o.program)
+    lines = consume_stream_lines(spark, ast, line_iter, o.until, chunk_lines)
+    result = _run_cli_program(spark, o, lines)
+    if result.kind != "query" or result.formatter is not None:
+        raise PqError("interactive mode is not supported for this type of result")
+    out = out if out is not None else sys.stdout
+    n = 0
+    for frame in fmt.prominteractive_frames(result.query_result):
+        if n and pace_s:
+            time.sleep(pace_s)
+        out.write(frame + "\n")
+        out.flush()
+        n += 1
+    return n

@@ -152,3 +152,57 @@ def test_out_of_order_input_is_permutation_invariant(spark):
     # grid anchored at min(ts) + 999ms; the 2s sample is served at 2.999
     assert lines[0]["result"][0]["value"] == [1609459202.999, "9"]
     assert lines[1]["result"][0]["value"] == [1609459203.999, "1"]
+
+
+def test_stream_early_termination(spark):
+    """run_cli_stream ENDS the stream at the first mapped record past
+    --until (reference: src/parse/mapping/mapper.rs:50-53) — on an
+    INFINITE iterator it returns, and later records are never read even
+    if their ts falls back inside the range (the reference assumes an
+    ordered live stream). Output is byte-identical to run_cli over the
+    consumed prefix."""
+    from pq_spark.engine.runner import run_cli_stream
+
+    pulled = []
+
+    def infinite():
+        feed = [
+            "2021-01-01T00:00:00 bob 10",
+            "2021-01-01T00:00:02 bob 20",
+            "2021-01-01T00:00:04 bob 30",   # > until → stream ends here
+            "2021-01-01T00:00:01 bob 99",   # back in range: NOT in output
+        ]
+        for ln in feed:
+            pulled.append(ln)
+            yield ln
+        i = 0
+        while True:                          # unbounded tail
+            i += 1
+            pulled.append(i)
+            yield f"2021-01-01T00:00:05 bob {i}"
+
+    argv = ["pq", PROGRAM, "--until", "2021-01-01 00:00:03"]
+    out = run_cli_stream(spark, argv, infinite(), chunk_lines=2)
+    assert out == run_cli(spark, argv, LOG[:2])
+    # bounded pull: at most the two probe chunks came off the iterator
+    assert len(pulled) <= 4
+    # without --until the iterator is drained to EOF, plain run_cli parity
+    assert run_cli_stream(spark, ["pq", PROGRAM], iter(LOG)) == run_cli(
+        spark, ["pq", PROGRAM], LOG
+    )
+
+
+def test_live_interactive_frames(spark):
+    """run_cli_live writes each -i frame + flush as the instant's cells
+    stream back; the concatenated stream is byte-identical to the batch
+    -i output, one ESC[2J redraw per grid instant."""
+    import io
+
+    from pq_spark.engine.runner import run_cli_live
+
+    argv = ["pq", VPROG + " | select v", "-i"]
+    buf = io.StringIO()
+    n = run_cli_live(spark, argv, iter(VLOG), out=buf)
+    batch = run_cli(spark, argv, VLOG).decode()
+    assert buf.getvalue() == batch
+    assert n == batch.count("\x1b[2J") and n >= 2

@@ -249,6 +249,9 @@ def run_query_bench(spark, sf_dir: str, reps: int = 3) -> tuple[dict, dict]:
         # get headline perf ownership the round they land)
         "ts_asof_join",
         "tier_routed_window",
+        # round-7: exact duplicate-span removal (gram fan-out + dup agg +
+        # per-row rewrite — the heaviest corpus transform in the registry)
+        "text_dup_spans",
     ]
     # warm-up pass (codegen/JIT/broadcast amortization) — not recorded
     for name in names:

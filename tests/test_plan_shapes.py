@@ -163,6 +163,8 @@ PIPELINE_OPS = [
     "sample_weighted",
     "seq_pack",
     "quality_filter",
+    "text_dup_spans",
+    "host_stats",
 ]
 
 

@@ -2994,6 +2994,53 @@ FROM s""",
 )
 
 
+# -- event-time sessionization -------------------------------------------------
+def _sessionize_query(spark, sf):
+    from .timejoin import sessionize
+
+    out = sessionize(
+        _event_source(spark, sf).select("ts_ms", "et", "ub", "value"),
+        "ts_ms", ["et", "ub"], gap_ms=3_600_000, agg={"value": "sum"},
+    )
+    return out.select(
+        "et", "ub", "session_id", "session_start", "session_end", "n_events",
+        F.round(F.col("sum_value") + F.lit(_EPS6), 6).alias("sum_value"),
+    )
+
+
+register(
+    "ts_sessionize",
+    # gap-based event-time sessions per (et, ub) series (the web-log
+    # user-session rollup; batch form of streaming session_window): one
+    # hash partition + one in-partition sort carries both the lag-gap
+    # flag and the running session counter, then a prefix-compatible
+    # groupBy aggregates each session. Session partitioning is
+    # order-insensitive under ts ties (equal-ts rows have gap 0), so no
+    # tie-break column is needed; float accumulation rounds 6dp on both
+    # sides per the repo contract.
+    _sessionize_query,
+    f"""WITH {_S_CTE},
+l AS (SELECT et, ub, ts_ms, value,
+             lag(ts_ms) OVER (PARTITION BY et, ub ORDER BY ts_ms) AS prev
+      FROM s),
+f AS (SELECT et, ub, ts_ms, value,
+             CASE WHEN prev IS NULL OR ts_ms - prev > 3600000
+                  THEN 1 ELSE 0 END AS ns
+      FROM l),
+g AS (SELECT et, ub, ts_ms, value,
+             CAST(sum(ns) OVER (PARTITION BY et, ub ORDER BY ts_ms
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM f)
+SELECT et, ub, session_id,
+       CAST(min(ts_ms) AS BIGINT) AS session_start,
+       CAST(max(ts_ms) AS BIGINT) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value) + 1e-7, 6) AS sum_value
+FROM g GROUP BY et, ub, session_id""",
+)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -3288,6 +3335,15 @@ _DEFERRED = [
                                # sample_mixture keeps hash-deterministic
                                # selection in-window; green r06 + both
                                # canaries; deferred to admit host_stats
+    # sixth round-7 rotation: admit event-time sessionization (the
+    # web-log user-session rollup over the engine's event source)
+    "pq_label_join",           # family: label manipulation —
+                               # pq_label_replace (deferred, green)
+                               # pins the label-rewrite machinery and
+                               # pq_share_of_total keeps the label-
+                               # recombination shape in-window; green
+                               # r05-r06 + both canaries; deferred to
+                               # admit ts_sessionize
 ]
 
 for _n in _DEFERRED:

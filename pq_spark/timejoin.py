@@ -307,3 +307,53 @@ def range_join(
         .filter((lt >= s) & (lt < e))
         .drop("_b")
     )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    gap_ms: int,
+    agg: dict[str, str] | None = None,
+) -> DataFrame:
+    """Event-time sessionization: split each key's event stream into
+    sessions wherever the gap between consecutive events exceeds
+    ``gap_ms``, and aggregate per session (the classic web-log
+    user-session rollup; Structured Streaming's session_window does
+    this for streams — ``streaming/rollup_stream`` owns that path, this
+    is the batch/backfill form over the same semantics).
+
+    Returns one row per (keys..., session_id) with session_start,
+    session_end (max event ts, inclusive), n_events, plus one column
+    per ``agg`` entry ({column: spark_agg_fn_name}, aliased
+    ``{fn}_{col}``).
+
+    Scale shape (100 TB): ONE hash partition by the series keys and one
+    sort by ts inside it — the lag-gap flag and the running session
+    counter ride the same window (no second Exchange), then the session
+    aggregation groups by (keys, session_id) which is a prefix-compatible
+    reshuffle. Per-key work is inherently sequential (a session boundary
+    depends on every prior gap), so the unit of parallelism is the key —
+    the right unit for web logs (hosts/users are many and individually
+    small). A single pathological key bounded only by the corpus would
+    need the engine's (key, time-block) sharding with boundary seeds, the
+    asof_join_blocked pattern above."""
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col(ts_col) - prev > F.lit(gap_ms)), 1
+    ).otherwise(0)
+    sess = events.withColumn(
+        "session_id",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    aggs = [
+        F.min(ts_col).cast("long").alias("session_start"),
+        F.max(ts_col).cast("long").alias("session_end"),
+        F.count("*").cast("long").alias("n_events"),
+    ]
+    for col, fn in (agg or {}).items():
+        aggs.append(getattr(F, fn)(col).alias(f"{fn}_{col}"))
+    return sess.groupBy(*keys, "session_id").agg(*aggs)

@@ -206,3 +206,28 @@ def test_live_interactive_frames(spark):
     batch = run_cli(spark, argv, VLOG).decode()
     assert buf.getvalue() == batch
     assert n == batch.count("\x1b[2J") and n >= 2
+
+
+def test_module_main_stdin(spark):
+    """``python -m pq_spark`` parity: main() pipes stdin through the
+    early-terminating stream path and writes run_cli's exact bytes;
+    ``-i`` routes to the live frame writer; bad args fail fast (exit 2)
+    before a session is touched."""
+    import io
+
+    from pq_spark.__main__ import main
+
+    argv = [PROGRAM, "--until", "2021-01-01 00:00:03"]
+    out = io.BytesIO()
+    assert main(argv, stdin=io.StringIO("\n".join(LOG) + "\n"), out=out) == 0
+    assert out.getvalue() == run_cli(spark, ["pq"] + argv, LOG[:2])
+
+    buf = io.StringIO()
+    assert main([VPROG + " | select v", "-i"],
+                stdin=io.StringIO("\n".join(VLOG) + "\n"), out=buf) == 0
+    assert buf.getvalue() == run_cli(
+        spark, ["pq", VPROG + " | select v", "-i"], VLOG
+    ).decode()
+
+    assert main(["p", "--since", "2021-01-01 00:00:05",
+                 "--until", "2021-01-01 00:00:01"]) == 2

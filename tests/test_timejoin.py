@@ -265,3 +265,54 @@ def test_asof_blocked_partitions_by_block(spark):
     plan = _plan(spark, asof_join_blocked(l, r, on=["k"], left_ts="lts",
                                           right_ts="rts", block_ms=100))
     assert re.search(r"hashpartitioning\(k#\d+[^)]*_blk", plan), plan
+
+
+def test_sessionize_semantics(spark):
+    """Hand-computed sessions: gap > gap_ms splits, gap == gap_ms does
+    not, ties at one ts never split, per-key streams are independent,
+    and agg columns roll up per session."""
+    from pq_spark.timejoin import sessionize
+
+    rows = [
+        # key a: [0, 100, 200] | gap 301 > 300 | [501] | [900, 900]
+        ("a", 0, 1.0), ("a", 100, 2.0), ("a", 200, 3.0),
+        ("a", 501, 4.0), ("a", 900, 5.0), ("a", 900, 6.0),
+        # key b: gap exactly 300 does NOT split
+        ("b", 0, 1.0), ("b", 300, 1.0), ("b", 600, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = {(r["k"], r["session_id"]): r
+           for r in sessionize(df, "ts", ["k"], gap_ms=300,
+                               agg={"v": "sum"}).collect()}
+    assert len(out) == 4
+    a1, a2, a3 = out[("a", 1)], out[("a", 2)], out[("a", 3)]
+    assert (a1["session_start"], a1["session_end"], a1["n_events"],
+            a1["sum_v"]) == (0, 200, 3, 6.0)
+    assert (a2["session_start"], a2["session_end"], a2["n_events"]) == (
+        501, 501, 1)
+    assert (a3["session_start"], a3["session_end"], a3["n_events"],
+            a3["sum_v"]) == (900, 900, 2, 11.0)
+    b1 = out[("b", 1)]
+    assert (b1["session_start"], b1["session_end"], b1["n_events"]) == (
+        0, 600, 3)
+
+
+def test_sessionize_single_exchange_plan(spark):
+    """One hash partition by the series keys carries the lag window, the
+    running counter AND feeds the session groupBy prefix-compatibly;
+    no SortAggregate."""
+    import re as _re
+
+    from pq_spark.timejoin import sessionize
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        (F.col("id") * 37 % 10000).alias("ts"),
+        F.rand(1).alias("v"),
+    )
+    plan = _plan(spark, sessionize(df, "ts", ["k"], gap_ms=100))
+    ex = [l for l in plan.splitlines() if _re.match(r"^\(\d+\) Exchange", l)]
+    # one Exchange for the window partitioning; the groupBy on
+    # (k, session_id) may add at most one more
+    assert len(ex) <= 2, plan
+    assert "SortAggregate" not in plan, plan

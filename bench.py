@@ -252,6 +252,11 @@ def run_query_bench(spark, sf_dir: str, reps: int = 3) -> tuple[dict, dict]:
         # round-7: exact duplicate-span removal (gram fan-out + dup agg +
         # per-row rewrite — the heaviest corpus transform in the registry)
         "text_dup_spans",
+        # round-7: event-time sessionization (single-Exchange window chain)
+        # and canonical-URL dedup (scan-projection regex folding + one
+        # map-side-combining groupBy)
+        "ts_sessionize",
+        "url_canonical_dedup",
     ]
     # warm-up pass (codegen/JIT/broadcast amortization) — not recorded
     for name in names:

@@ -3041,6 +3041,53 @@ FROM g GROUP BY et, ub, session_id""",
 )
 
 
+# -- canonical-URL dedup -------------------------------------------------------
+def _messy_url_query(spark, sf):
+    # CC-shaped fixture urls with deterministic canonicalization noise:
+    # five variants per page key (doc_id % 5) that differ ONLY in case,
+    # default port, fragment, tracking params, param order, and trailing
+    # slash — every doc_id with the same page (doc_id % 250) must fold to
+    # one canonical url.
+    d = _docs(spark, sf).select("doc_id")
+    page = (F.col("doc_id") % 250).cast("string")
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 250 % 7).cast("string"),
+                    F.lit(".example.org"))
+    path = F.concat(F.lit("/p/"), page)
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, path,
+                                F.lit("?a=1&b=2")))
+        .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host), path,
+                               F.lit("/?b=2&a=1#x")))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"), path,
+                               F.lit("?utm_source=feed&a=1&b=2")))
+        .when(v == 3, F.concat(F.lit("https://"), host, path, F.lit("?b=2&gclid=g"),
+                               F.col("doc_id").cast("string"), F.lit("&a=1")))
+        .otherwise(F.concat(F.lit("https://"), host, path,
+                            F.lit("?a=1&ref=tw&b=2")))
+    )
+    return textops.url_dedup(d.select("doc_id", url.alias("url")))
+
+
+register(
+    "url_canonical_dedup",
+    # canonical-URL dedup over deterministically-noised fixture urls
+    # (textops.canonical_url: fragment/case/port/tracking/param-order/
+    # trailing-slash folding, then one map-side-combining groupBy on the
+    # canonical key). The oracle does NOT re-implement the canonicalizer:
+    # it derives the expected canonical directly from the page key the
+    # noise was built from — independent ground truth, so any folding bug
+    # on the Spark side hash-mismatches.
+    _messy_url_query,
+    """WITH d AS (SELECT doc_id, doc_id % 250 AS page FROM documents)
+SELECT 'https://site' || CAST(page % 7 AS VARCHAR) || '.example.org/p/' ||
+       CAST(page AS VARCHAR) || '?a=1&b=2' AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM d GROUP BY page""",
+)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -3344,6 +3391,15 @@ _DEFERRED = [
                                # recombination shape in-window; green
                                # r05-r06 + both canaries; deferred to
                                # admit ts_sessionize
+    # seventh round-7 rotation: admit canonical-URL dedup (the crawl
+    # curation key every URL-level pass groups on)
+    "pq_deriv",                # family: range-vector regression/rate —
+                               # pq_rate_1h and pq_rate_over_tier_1m
+                               # keep the over-time window strategy
+                               # in-window and the deriv least-squares
+                               # path stays gate-pinned; green r05-r06 +
+                               # both canaries; deferred to admit
+                               # url_canonical_dedup
 ]
 
 for _n in _DEFERRED:

@@ -1965,3 +1965,68 @@ def chunk_docs(
             " ", F.slice(F.col("_w"), F.col("start_tok"), clen)
         ).alias("chunk_text"),
     )
+
+
+# -- url canonicalization -----------------------------------------------------
+
+#: query params that never change page identity (analytics/click IDs);
+#: anchored key-match against a single `k=v` pair.
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a crawl URL — the key every URL-level dedup /
+    revisit-policy pass groups on (Common Crawl dedups fetches by
+    canonicalized URL; reference curation keys pages by url,
+    rollup/pages.py:64). Folds the equivalences that don't change page
+    identity:
+
+    - fragment dropped (`#...` is client-side only)
+    - scheme + authority lowercased (host names are case-insensitive;
+      path case is PRESERVED — paths are case-sensitive)
+    - default port stripped (`:443` for https, `:80` for http)
+    - tracking params dropped (TRACKING_PARAM_RE), remaining params
+      sorted byte-lexicographically, empty query removed
+    - one trailing slash stripped from a non-root path; a bare root
+      `/` folds into the authority (`http://a.com/` == `http://a.com`)
+
+    Scale shape (100 TB): pure JVM regexp/array expressions — no UDF,
+    no shuffle; whole-stage codegen keeps it inside the scan
+    projection."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    qs = F.regexp_extract(u, r"\?(.*)$", 1)
+    auth = F.lower(F.regexp_extract(base, r"^([a-zA-Z]+://[^/]*)", 1))
+    auth = F.regexp_replace(auth, r"^(https://[^/:]+):443$", r"$1")
+    auth = F.regexp_replace(auth, r"^(http://[^/:]+):80$", r"$1")
+    path = F.regexp_replace(base, r"^[a-zA-Z]+://[^/]*", "")
+    path = F.regexp_replace(path, r"(.)/$", r"$1")
+    path = F.when(path == F.lit("/"), F.lit("")).otherwise(path)
+    kept = F.array_sort(F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
+    ))
+    query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(auth, path, query)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-URL dedup: group rows whose ``url_col`` canonicalizes
+    identically (case/port/fragment/tracking/param-order/trailing-slash
+    variants of one page) and keep the deterministic representative
+    (min ``id_col``). Returns (canonical_url, n_variants, keep_id).
+
+    Scale shape: canonicalization rides the scan projection; ONE hash
+    groupBy on the canonical key — count and min combine map-side, so a
+    hot page never funnels pre-aggregation rows to one reducer."""
+    return (
+        df.select(canonical_url(F.col(url_col)).alias("canonical_url"),
+                  F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(F.count("*").cast("long").alias("n_variants"),
+             F.min(id_col).cast("long").alias("keep_id"))
+    )

@@ -670,3 +670,60 @@ def test_host_stats_and_spam_filter(spark):
     kept = {r["doc_id"]
             for r in host_spam_filter(d, 0.4, 2.0).collect()}
     assert kept == {1, 2}
+
+
+def test_canonical_url_folding(spark):
+    """Hand-computed canonical forms: fragment dropped, scheme+host
+    lowercased (path case preserved), default ports stripped (non-default
+    kept), tracking params dropped, params sorted, empty query removed,
+    non-root trailing slash stripped, bare root folded into authority."""
+    from pq_spark.textops import canonical_url
+
+    cases = [
+        ("https://A.Com/Path/Sub?b=2&a=1#frag", "https://a.com/Path/Sub?a=1&b=2"),
+        ("HTTPS://EX.ORG:443/p/1/", "https://ex.org/p/1"),
+        ("http://ex.org:80/", "http://ex.org"),
+        ("http://ex.org:8080/x", "http://ex.org:8080/x"),
+        ("https://ex.org/x?utm_source=f&utm_medium=m&gclid=1&ref=t", "https://ex.org/x"),
+        ("https://ex.org/x?z=1&a=2&mc_eid=9", "https://ex.org/x?a=2&z=1"),
+        ("https://ex.org", "https://ex.org"),
+        ("https://ex.org/?a=1", "https://ex.org?a=1"),
+        # tracking keys only match whole-param anchored: a param VALUE
+        # containing "ref=" or a key merely PREFIXED by one survives
+        ("https://ex.org/x?next=ref%3Dt&reference=1", "https://ex.org/x?next=ref%3Dt&reference=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_groups_and_plan(spark):
+    """All five noise variants of one page fold to one canonical row with
+    min-id representative; the plan is UDF-free with ONE Exchange (the
+    canonical-key groupBy, map-side combined)."""
+    import re
+
+    from pq_spark.textops import url_dedup
+
+    rows = [
+        (10, "https://s.org/p/1?a=1&b=2"),
+        (11, "HTTPS://S.ORG/p/1/?b=2&a=1#x"),
+        (12, "https://s.org:443/p/1?utm_source=f&a=1&b=2"),
+        (13, "https://s.org/p/1?b=2&gclid=g13&a=1"),
+        (14, "https://s.org/p/1?a=1&ref=tw&b=2"),
+        (20, "https://s.org/p/2?a=1&b=2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["canonical_url"]: r for r in url_dedup(df).collect()}
+    assert len(out) == 2
+    p1 = out["https://s.org/p/1?a=1&b=2"]
+    assert (p1["n_variants"], p1["keep_id"]) == (5, 10)
+    assert out["https://s.org/p/2?a=1&b=2"]["n_variants"] == 1
+
+    plan = url_dedup(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "partial_count" in plan or "HashAggregate" in plan

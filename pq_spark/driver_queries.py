@@ -20,6 +20,7 @@ import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from . import textops
 from .engine.ingest import samples_from_table
@@ -3008,18 +3009,7 @@ def _sessionize_query(spark, sf):
     )
 
 
-register(
-    "ts_sessionize",
-    # gap-based event-time sessions per (et, ub) series (the web-log
-    # user-session rollup; batch form of streaming session_window): one
-    # hash partition + one in-partition sort carries both the lag-gap
-    # flag and the running session counter, then a prefix-compatible
-    # groupBy aggregates each session. Session partitioning is
-    # order-insensitive under ts ties (equal-ts rows have gap 0), so no
-    # tie-break column is needed; float accumulation rounds 6dp on both
-    # sides per the repo contract.
-    _sessionize_query,
-    f"""WITH {_S_CTE},
+_SESSIONIZE_SQL = f"""WITH {_S_CTE},
 l AS (SELECT et, ub, ts_ms, value,
              lag(ts_ms) OVER (PARTITION BY et, ub ORDER BY ts_ms) AS prev
       FROM s),
@@ -3037,8 +3027,74 @@ SELECT et, ub, session_id,
        CAST(max(ts_ms) AS BIGINT) AS session_end,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value) + 1e-7, 6) AS sum_value
-FROM g GROUP BY et, ub, session_id""",
+FROM g GROUP BY et, ub, session_id"""
+
+
+register(
+    "ts_sessionize",
+    # gap-based event-time sessions per (et, ub) series (the web-log
+    # user-session rollup; batch form of streaming session_window): one
+    # hash partition + one in-partition sort carries both the lag-gap
+    # flag and the running session counter, then a prefix-compatible
+    # groupBy aggregates each session. Session partitioning is
+    # order-insensitive under ts ties (equal-ts rows have gap 0), so no
+    # tie-break column is needed; float accumulation rounds 6dp on both
+    # sides per the repo contract.
+    _sessionize_query,
+    _SESSIONIZE_SQL,
 )
+
+
+def _sessionize_streamed_query(spark, sf):
+    """The SAME sessions via Spark's native session_window over an
+    unbounded replay of the events file — the streaming path must land
+    on the batch operator's exact rows (gap semantics measured
+    identical: ties AT the gap merge). Complete-mode memory sink keeps
+    trailing sessions observable (pq_sum_by_et_streamed drain pattern);
+    the ordinal session_id has no streaming analogue, so it's
+    reconstructed batch-side on the SESSION-LEVEL result (row_number
+    over session_start per series — tiny table, not the event stream).
+    """
+    import uuid as _uuid
+
+    from .streaming import streaming_sessionize
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    src = ev.select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("event_type").alias("et"),
+        (F.col("user_id") % 10).cast("string").alias("ub"),
+        F.col("value"),
+    )
+    sess = streaming_sessionize(
+        src, keys=["et", "ub"], ts_col="ts_ms", gap_ms=3_600_000,
+        watermark="10 minutes", agg={"value": "sum"},
+    )
+    sink = f"pq_streamed_sess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("et", "ub").orderBy("session_start")
+    return spark.table(sink).select(
+        "et", "ub",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        "session_start", "session_end", "n_events",
+        F.round(F.col("sum_value") + F.lit(_EPS6), 6).alias("sum_value"),
+    )
+
+
+register("ts_sessionize_streamed", _sessionize_streamed_query,
+         _SESSIONIZE_SQL)
 
 
 # -- canonical-URL dedup -------------------------------------------------------
@@ -3400,6 +3456,16 @@ _DEFERRED = [
                                # path stays gate-pinned; green r05-r06 +
                                # both canaries; deferred to admit
                                # url_canonical_dedup
+    # eighth round-7 rotation: admit streaming sessionization (native
+    # session_window path proving batch/stream parity under the oracle)
+    "ts_range_join",           # family: time-interval joins —
+                               # ts_asof_join keeps the harder backward-
+                               # carry shape (plus its hot-key sharded
+                               # variant) in-window and the bucketed
+                               # range-join machinery stays pinned by
+                               # test_timejoin; green r07 + both
+                               # canaries; deferred to admit
+                               # ts_sessionize_streamed
 ]
 
 for _n in _DEFERRED:

@@ -247,3 +247,54 @@ def streaming_dedup(
         .dropDuplicatesWithinWatermark(["_text_hash"])
         .drop("_ets")
     )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts_ms",
+    gap_ms: int = 3_600_000,
+    watermark: str = "10 minutes",
+    agg: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming event-time sessionization over Spark's NATIVE
+    ``session_window`` — the continuous form of ``timejoin.sessionize``
+    with IDENTICAL gap semantics: consecutive events merge iff
+    ``next − prev <= gap_ms`` (measured: session_window also merges
+    ADJACENT windows, so an event exactly ``gap_ms`` after its
+    predecessor stays in-session — no off-by-one adjustment needed).
+
+    Emits one row per (keys..., session): session_start, session_end
+    (max event ts, NOT window end — window end is last + gap), n_events,
+    plus ``{fn}_{col}`` per ``agg`` entry. No per-row Python: the state
+    merge is Spark's built-in session aggregation.
+
+    Scale contract: state holds only OPEN sessions (closed ones are
+    emitted and evicted once the event-time watermark passes), so a
+    perpetual stream runs in bounded state ∝ active series, not corpus
+    size. Late data within the watermark merges/extends sessions
+    exactly like the batch operator; beyond it, drops. In append mode a
+    session emits once the watermark passes its close; bounded replays
+    use complete mode so trailing sessions stay observable (the
+    pq_sum_by_et_streamed drain pattern). The batch operator's ordinal
+    ``session_id`` has no streaming analogue (an unbounded stream has
+    no per-key total order to number) — consumers key sessions by
+    (keys..., session_start) instead.
+    """
+    src = events.withColumn(
+        "_ets", F.timestamp_millis(F.col(ts_col))
+    ).withWatermark("_ets", watermark)
+    aggs = [
+        F.min(ts_col).cast("long").alias("session_start"),
+        F.max(ts_col).cast("long").alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ]
+    for col, fn in (agg or {}).items():
+        aggs.append(getattr(F, fn)(col).alias(f"{fn}_{col}"))
+    return (
+        src.groupBy(
+            *keys, F.session_window("_ets", f"{gap_ms} milliseconds")
+        )
+        .agg(*aggs)
+        .drop("session_window")
+    )

@@ -357,3 +357,62 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     # (first arrival within a micro-batch is scan-order, not id-order)
     assert sum(1 for i in ids if i in (1, 2, 4)) == 1
     assert [i for i in ids if i not in (1, 2, 4)] == [3, 5, 6, 7]
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Native session_window path lands on timejoin.sessionize's exact
+    sessions over an out-of-order multi-batch replay: ties AT the gap
+    merge, gap_ms+1 splits, per-key independence, and the sum agg rolls
+    up identically (the measured adjacent-window merge semantics the
+    ts_sessionize_streamed driver row relies on)."""
+    import time
+
+    from pq_spark.streaming import streaming_sessionize
+    from pq_spark.timejoin import sessionize
+
+    B = 1_600_000_000_000
+    rows = [
+        # key a: [B, B+300] tie at exactly gap | split at gap+1 ms
+        {"k": "a", "ts": B, "v": 1.0},
+        {"k": "a", "ts": B + 300_000, "v": 2.0},
+        {"k": "a", "ts": B + 600_001, "v": 3.0},
+        # key b: single long session spanning the batch boundary,
+        # delivered OUT OF ORDER across micro-batches (late-but-within-
+        # watermark events must merge exactly like batch)
+        {"k": "b", "ts": B + 200_000, "v": 1.0},
+        {"k": "b", "ts": B + 100_000, "v": 1.0},
+    ]
+    _write_jsonl(tmp_path / "p0.jsonl", rows[:3] + rows[3:4])
+    time.sleep(1.1)
+    _write_jsonl(tmp_path / "p1.jsonl", rows[4:])
+    stream = (
+        spark.readStream.schema("k string, ts long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path))
+    )
+    sess = streaming_sessionize(
+        stream, keys=["k"], ts_col="ts", gap_ms=300_000,
+        watermark="30 minutes", agg={"v": "sum"},
+    )
+    out = _run_stream(spark, sess,
+                      f"ss_{int(time.time()*1000)}", mode="complete")
+    got = sorted(
+        (r["k"], r["session_start"], r["session_end"], r["n_events"],
+         r["sum_v"]) for r in out.collect()
+    )
+    batch = spark.createDataFrame(
+        [(r["k"], r["ts"], r["v"]) for r in rows],
+        "k string, ts long, v double",
+    )
+    want = sorted(
+        (r["k"], r["session_start"], r["session_end"], r["n_events"],
+         r["sum_v"])
+        for r in sessionize(batch, "ts", ["k"], gap_ms=300_000,
+                            agg={"v": "sum"}).collect()
+    )
+    assert got == want
+    assert [g[:4] for g in got] == [
+        ("a", B, B + 300_000, 2),
+        ("a", B + 600_001, B + 600_001, 1),
+        ("b", B + 100_000, B + 200_000, 2),
+    ]

@@ -727,3 +727,59 @@ def test_url_dedup_groups_and_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_canonical_url_idempotent_and_noise_invariant(spark):
+    """Two properties over a generated URL space (one Spark pass each):
+    canonical(canonical(u)) == canonical(u) — a non-idempotent fold
+    splits dedup groups across incremental runs — and canonical is
+    invariant under every foldable noise op (fragment, host case,
+    default port, tracking params, param permutation, trailing slash)
+    applied in random combinations."""
+    import random
+
+    from pq_spark.textops import canonical_url
+
+    rng = random.Random(7)
+    hosts = ["ex.org", "a.b.example.com", "x-y.net"]
+    paths = ["", "/", "/p", "/p/q", "/P/Q/r", "/a%20b"]
+    params = [[], ["a=1"], ["b=2", "a=1"], ["z=", "a=2", "m=3"]]
+
+    def noise(scheme, host, port, path, ps):
+        if rng.random() < 0.5:
+            host = "".join(
+                c.upper() if rng.random() < 0.5 else c for c in host)
+        if rng.random() < 0.4:
+            scheme = scheme.upper()
+        if rng.random() < 0.4 and port == "":
+            port = ":443" if scheme.lower() == "https" else ":80"
+        if rng.random() < 0.4:
+            path = (path or "/") if rng.random() < 0.5 else (
+                path + "/" if path and not path.endswith("/") else path)
+        ps = ps[:]
+        for t in ("utm_source=x", "gclid=1", "ref=t", "mc_eid=9"):
+            if rng.random() < 0.3:
+                ps.insert(rng.randrange(len(ps) + 1), t)
+        rng.shuffle(ps)
+        frag = "#frag" if rng.random() < 0.5 else ""
+        q = "?" + "&".join(ps) if ps else ""
+        return f"{scheme}://{host}{port}{path}{q}{frag}"
+
+    base, noised = [], []
+    for _ in range(250):
+        scheme = rng.choice(["http", "https"])
+        host, path = rng.choice(hosts), rng.choice(paths)
+        ps = rng.choice(params)[:]
+        q = "?" + "&".join(ps) if ps else ""
+        base.append(f"{scheme}://{host}{path}{q}")
+        noised.append(noise(scheme, host, "", path, ps))
+
+    df = spark.createDataFrame(
+        list(zip(base, noised)), "base string, noised string")
+    out = df.select(
+        canonical_url(F.col("base")).alias("cb"),
+        canonical_url(F.col("noised")).alias("cn"),
+    ).withColumn("cc", canonical_url(F.col("cn"))).collect()
+    for r in out:
+        assert r["cn"] == r["cb"], (r["cb"], r["cn"])
+        assert r["cc"] == r["cn"], (r["cn"], r["cc"])

@@ -3144,6 +3144,47 @@ FROM d GROUP BY page""",
 )
 
 
+# -- winnowing fingerprints (MOSS) ---------------------------------------------
+register(
+    "winnow_pairs",
+    # position-local near-dup pairs by shared winnowing fingerprints
+    # (Schleimer et al. 2003): docs sharing >=2 distinct window-min
+    # k-gram hashes. The whole fold (k-gram hash -> w-window min ->
+    # distinct) is per-row JVM array expressions — the gram fan-out
+    # never leaves its array cell — and the oracle restates it verbatim
+    # over the portable 60-bit hashes (the hot-fp cap is restated too;
+    # non-binding at every test scale, bounds the equi-join's largest
+    # key group at corpus scale).
+    lambda spark, sf: textops.winnow_pairs(
+        _docs(spark, sf), k=5, w=4, min_shared=2, max_bucket=256
+    ),
+    f"""WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+           FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(ws) < 5 THEN []::BIGINT[]
+             ELSE list_transform(range(1, len(ws) - 3),
+                    i -> {_hash_sql("array_to_string(list_slice(ws, i, i + 4), ' ')", 'winnow')})
+        END AS grams
+      FROM t),
+f AS (SELECT doc_id,
+        CASE WHEN len(grams) = 0 THEN []::BIGINT[]
+             WHEN len(grams) < 4 THEN [list_min(grams)]
+             ELSE list_transform(range(1, len(grams) - 2),
+                    j -> list_min(list_slice(grams, j, j + 3)))
+        END AS fps
+      FROM g),
+u AS (SELECT DISTINCT doc_id, fp
+      FROM (SELECT doc_id, unnest(fps) AS fp FROM f)),
+c AS (SELECT fp FROM u GROUP BY fp HAVING count(*) <= 256),
+uc AS (SELECT u.doc_id, u.fp FROM u JOIN c USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM uc a JOIN uc b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2""",
+)
+
+
 # ---------------------------------------------------------------------------
 # registry rotation: the correctness driver samples the FIRST 50 entries, so
 # every operator family must land inside that window. The deferred tail holds
@@ -3466,6 +3507,15 @@ _DEFERRED = [
                                # test_timejoin; green r07 + both
                                # canaries; deferred to admit
                                # ts_sessionize_streamed
+    # ninth round-7 rotation: admit winnowing fingerprints (MOSS —
+    # position-local near-dup evidence, the complement of the global
+    # simhash/minhash signatures)
+    "dedup_survivors",         # family: near-dup component survivors —
+                               # its machinery (components + argmax
+                               # survivor) is a strict subset of
+                               # in-window dedup_semantic's composition;
+                               # green r06-r07 + both canaries; deferred
+                               # to admit winnow_pairs
 ]
 
 for _n in _DEFERRED:

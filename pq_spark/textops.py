@@ -2030,3 +2030,86 @@ def url_dedup(
         .agg(F.count("*").cast("long").alias("n_variants"),
              F.min(id_col).cast("long").alias("keep_id"))
     )
+
+
+# -- winnowing fingerprints (MOSS) ---------------------------------------------
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS algorithm): hash every word k-gram of the normalized
+    text, slide a w-window over the hash sequence, keep each window's
+    MINIMUM; the DISTINCT set of window minima is the fingerprint set.
+    Guarantee: two documents sharing any run of >= k + w − 1 words share
+    at least one fingerprint — POSITION-LOCAL near-dup evidence, the
+    complement of the global signatures (simhash/minhash) above. A
+    document with at least one but fewer than w k-grams contributes its
+    single overall minimum.
+
+    Returns exploded (id_col, fp) rows, one per distinct fingerprint.
+
+    Scale shape (100 TB): entirely per-row JVM array expressions
+    (transform/slice/array_min — no UDF, no shuffle, no gram explosion:
+    the gram fan-out stays INSIDE one array cell); only the final
+    distinct-fingerprint explode leaves the row. Hashes are the portable
+    60-bit md5 ints, so DuckDB restates the whole fold verbatim."""
+    toks = words_col(F.col(text_col))
+    n = F.size(toks)
+    empty = F.array().cast("array<bigint>")
+    grams = F.when(n < k, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: portable_hash(
+                F.concat_ws(" ", F.slice(toks, i, k)), "winnow"
+            ),
+        )
+    )
+    g = F.size(grams)
+    fps = (
+        F.when(g == 0, empty)
+        .when(g < w, F.array(F.array_min(grams)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), g - w + 1),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            )
+        )
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints: docs
+    sharing >= ``min_shared`` distinct fingerprints (id_a < id_b, plus
+    the shared count). The join is keyed by fingerprint — an equi-join,
+    never a cross product — with the standard hot-bucket cap
+    (``_cap_buckets``): a fingerprint shared by more than ``max_bucket``
+    docs is boilerplate better handled by exact_dedup first."""
+    fp = winnow_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    )
+    fp = _cap_buckets(fp, "fp", max_bucket)
+    a = fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(min_shared))
+    )

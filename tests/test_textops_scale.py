@@ -783,3 +783,42 @@ def test_canonical_url_idempotent_and_noise_invariant(spark):
     for r in out:
         assert r["cn"] == r["cb"], (r["cb"], r["cn"])
         assert r["cc"] == r["cn"], (r["cn"], r["cc"])
+
+
+def test_winnow_fingerprint_guarantee_and_plan(spark):
+    """The winnowing guarantee: two docs sharing a run of >= k + w - 1
+    words share at least one fingerprint; disjoint docs share none;
+    docs with >= 1 but < w k-grams contribute their single overall
+    minimum; empty/short docs contribute nothing. The pair join is an
+    equi-join on fp (no CartesianProduct) and the fold is UDF-free."""
+    from pq_spark.textops import winnow_fingerprints, winnow_pairs
+
+    k, w = 3, 2
+    shared = "alpha beta gamma delta"          # k + w - 1 = 4 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"x y z {shared} q r"),
+            (3, "completely different words here entirely"),
+            (4, "tiny doc"),                   # n < k: no grams
+            (5, "just three words"),           # 1 gram < w: fallback min
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=k, w=w)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "guarantee violated: shared run, no shared fp"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    assert 4 not in by_doc
+    assert len(by_doc[5]) == 1
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_pairs(docs, k=k, w=w, min_shared=1).collect()}
+    assert (1, 2) in pairs and all(p == (1, 2) for p in pairs)
+
+    plan = winnow_pairs(docs, k=k, w=w)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

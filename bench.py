@@ -257,6 +257,9 @@ def run_query_bench(spark, sf_dir: str, reps: int = 3) -> tuple[dict, dict]:
         # map-side-combining groupBy)
         "ts_sessionize",
         "url_canonical_dedup",
+        # round-7: winnowing fingerprints (per-row array fold + fp-keyed
+        # pair join — the position-local dedup family)
+        "winnow_pairs",
     ]
     # warm-up pass (codegen/JIT/broadcast amortization) — not recorded
     for name in names:

@@ -2057,30 +2057,42 @@ def winnow_fingerprints(
     (transform/slice/array_min — no UDF, no shuffle, no gram explosion:
     the gram fan-out stays INSIDE one array cell); only the final
     distinct-fingerprint explode leaves the row. Hashes are the portable
-    60-bit md5 ints, so DuckDB restates the whole fold verbatim."""
-    toks = words_col(F.col(text_col))
-    n = F.size(toks)
+    60-bit md5 ints, so DuckDB restates the whole fold verbatim.
+
+    Each stage is bound as a REAL column in its own projection before
+    the next stage's lambda captures it: an expression tree referenced
+    inside a higher-order-function lambda is re-evaluated PER ELEMENT
+    (toks inside the gram lambda, grams inside the window lambda), which
+    turns the fold O(n²) — measured 48 s → 0.9 s at sf0.1 for the
+    staged form (PLANS.md §12)."""
     empty = F.array().cast("array<bigint>")
-    grams = F.when(n < k, empty).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: portable_hash(
-                F.concat_ws(" ", F.slice(toks, i, k)), "winnow"
-            ),
+    staged = docs.select(F.col(id_col), words_col(F.col(text_col)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    staged = staged.select(
+        F.col(id_col),
+        F.when(n < k, empty)
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: portable_hash(
+                    F.concat_ws(" ", F.slice(F.col("_toks"), i, k)), "winnow"
+                ),
+            )
         )
+        .alias("_grams"),
     )
-    g = F.size(grams)
+    g = F.size(F.col("_grams"))
     fps = (
         F.when(g == 0, empty)
-        .when(g < w, F.array(F.array_min(grams)))
+        .when(g < w, F.array(F.array_min(F.col("_grams"))))
         .otherwise(
             F.transform(
                 F.sequence(F.lit(1), g - w + 1),
-                lambda j: F.array_min(F.slice(grams, j, w)),
+                lambda j: F.array_min(F.slice(F.col("_grams"), j, w)),
             )
         )
     )
-    return docs.select(
+    return staged.select(
         F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
     )
 

@@ -39,18 +39,35 @@ def words_col(col: Column) -> Column:
     return F.split(norm_text(col), " ")
 
 
+def _bind(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE per row and pass it to ``body`` as a
+    lambda variable. An expression tree captured inside a
+    higher-order-function lambda is re-evaluated PER OUTPUT ELEMENT
+    (PLANS.md §12 item 8) — e.g. a token split referenced by a shingle
+    lambda makes the fold O(n²) in document length (measured: 64
+    20k-token docs went from >300 s to ~1 s). Lambda variables are
+    bound attributes, so routing the array through a one-element
+    ``transform`` makes every inner reference an attribute read."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _ngrams(w: Column, n: int) -> Column:
+    """Word n-grams of a BOUND token-array attribute/lambda variable
+    (callers must not pass a raw expression — see ``_bind``)."""
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+
+
 def shingles_col(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles."""
-    w = words_col(col)
-    return F.array_distinct(
-        F.when(
-            F.size(w) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", w)))
-    )
+    """Distinct word n-gram shingles (linear in document length: the
+    token array is ``_bind``-ed so the shingle lambda reads an
+    attribute, never re-splits the text)."""
+    return F.array_distinct(_bind(words_col(col), lambda w: _ngrams(w, n)))
 
 
 # ---------------------------------------------------------------------------
@@ -1208,15 +1225,8 @@ def unigram_logppl(
 
 def ngrams_col(col: Column, n: int) -> Column:
     """NON-distinct word n-grams (cf. ``shingles_col``, which dedups):
-    repetition statistics need the multiplicity."""
-    w = words_col(col)
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", w)))
+    repetition statistics need the multiplicity. Linear via ``_bind``."""
+    return _bind(words_col(col), lambda w: _ngrams(w, n))
 
 
 def doc_repetition(

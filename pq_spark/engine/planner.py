@@ -1364,11 +1364,25 @@ class Planner:
             # collect pattern), all array math JVM-side. The collected
             # list is null-free (skeleton rows carry null values, which
             # collect_list drops — same contract count/sum rely on).
+            # the sorted window array and its median are BOUND as lambda
+            # variables (one-element transform) before the deviation
+            # pass: an expression captured inside a HOF lambda is
+            # re-evaluated per element (PLANS.md §12 item 8), and `m`
+            # captured directly would re-fold the median once per point
+            # — O(n²) in window point count.
             a = F.sort_array(over(F.collect_list("value")))
-            m = _arr_median(a)
-            return _arr_median(
-                F.sort_array(F.transform(a, lambda v: F.abs(v - m)))
+            bound = F.transform(
+                F.array(a),
+                lambda aa: F.transform(
+                    F.array(_arr_median(aa)),
+                    lambda mm: _arr_median(
+                        F.sort_array(
+                            F.transform(aa, lambda v: F.abs(v - mm))
+                        )
+                    ),
+                ),
             )
+            return F.element_at(F.element_at(bound, 1), 1)
         # NaN first: it passes both range guards (NaN<0 and NaN>1 are
         # false) but Spark's percentile rejects it — Prometheus says NaN
         if q is not None and math.isnan(q):

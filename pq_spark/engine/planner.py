@@ -360,11 +360,15 @@ class Planner:
         """Bounds aggregate → (params, grid): the evaluation grid
         ``t0 = anchor + min(lookback, interval) − 1`` with the trailing
         drain (vector.rs:29-45,74-107)."""
-        ctx = self.ctx
-        interval = ctx.interval_ms
         bounds = matched.agg(
             F.min("ts").alias("_tsmin"), F.max("ts").alias("_tsmax")
         )
+        return self._params_from_bounds(bounds, lookback)
+
+    def _params_from_bounds(self, bounds: DataFrame, lookback: int):
+        """(1-row bounds [_tsmin, _tsmax]) → (params, grid)."""
+        ctx = self.ctx
+        interval = ctx.interval_ms
         anchor = (
             F.lit(ctx.start_at_ms).cast("long")
             if ctx.start_at_ms is not None
@@ -409,22 +413,36 @@ class Planner:
             matched = matched.withColumn(
                 "ts", F.col("ts") + F.lit(int(sel.offset_ms))
             )
-        params, grid = self._grid_params(matched, lookback)
-
         # star schema: fact rows carry only the 64-bit skey; the label map
         # and signature string live in the per-series dim and join back
         # broadcast-style at the output edge (frames.py). The big shuffles
         # (serving-instant gap-fill agg) move longs + doubles only.
         # dim discovery is the ONLY place label data crosses a shuffle, and
         # it crosses as one invertible signature string per distinct series
-        # per partition (map-side combine): string-distinct HashAggregate,
-        # then the map is rebuilt on the dim-sized result. (Like the
-        # reference's separator-free signature itself, this treats label
-        # text containing \xff/\xfe as out of contract.)
+        # per partition (map-side combine): per-sig HashAggregate, then the
+        # map is rebuilt on the dim-sized result. (Like the reference's
+        # separator-free signature itself, this treats label text
+        # containing \xff/\xfe as out of contract.)
+        #
+        # FUSED bounds (optimization round 8): the grid bounds
+        # (min/max ts) ride the SAME per-series aggregation as dim
+        # discovery — two long partials next to the sig key — so a
+        # selector scans its fact input twice (dim+bounds, serve) instead
+        # of three times. The persisted per-series result is dim-sized;
+        # the global bounds reduce over it is a cache-read of #series rows.
+        per_series = (
+            matched.select(_sig2_expr(F.col("labels")).alias("_sig2"), "ts")
+            .groupBy("_sig2")
+            .agg(F.min("ts").alias("_tsmin"), F.max("ts").alias("_tsmax"))
+            .persist()
+        )
+        self.ctx.persisted.append(per_series)
+        bounds = per_series.agg(
+            F.min("_tsmin").alias("_tsmin"), F.max("_tsmax").alias("_tsmax")
+        )
+        params, grid = self._params_from_bounds(bounds, lookback)
         sel_dim = (
-            matched.select(_sig2_expr(F.col("labels")).alias("_sig2"))
-            .distinct()
-            .select(
+            per_series.select(
                 F.replace(F.col("_sig2"), F.lit(_PAIR_SEP), F.lit("")).alias("sig"),
                 "_sig2",
             )
@@ -434,9 +452,7 @@ class Planner:
                 _labels_from_sig2(F.col("_sig2")).alias("labels"),
                 F.col("sig").alias("ord"),
             )
-            .persist()
         )
-        self.ctx.persisted.append(sel_dim)
         return matched, params, grid, sel_dim
 
     def _plan_selector(self, sel: VectorSelector):
@@ -482,27 +498,24 @@ class Planner:
         # out of contract for log timestamps (same envelope as the
         # reference's i64-ms model; see COVERAGE.md)
         okey = (F.col("ts") * F.lit(1 << 21) + F.pmod(F.col("seq"), F.lit(1 << 21))).alias("_okey")
+        # few Dataset ops on purpose: every transformation re-analyzes the
+        # whole subtree on the driver (eager per-op analysis), so the
+        # serve projection explodes the ALREADY-SHIFTED instants directly
         served = (
-            j.withColumn("_k0", k0)
-            .withColumn("_k1", k1)
+            j.select("*", k0.alias("_k0"), k1.alias("_k1"))
             .filter(F.col("_k1") >= F.col("_k0"))
-            .withColumn("skey", F.xxhash64(sig_expr(F.col("labels"))))
             .select(
-                F.explode(F.sequence("_k0", "_k1")).alias("_k"),
-                "_t0",
-                "skey",
+                F.explode(
+                    F.transform(
+                        F.sequence("_k0", "_k1"),
+                        lambda k: F.col("_t0") + k * F.lit(interval),
+                    )
+                ).alias("instant"),
+                F.xxhash64(sig_expr(F.col("labels"))).alias("skey"),
                 "value",
                 "ts",
                 "seq",
                 okey,
-            )
-            .select(
-                (F.col("_t0") + F.col("_k") * F.lit(interval)).alias("instant"),
-                "skey",
-                "value",
-                "ts",
-                "seq",
-                "_okey",
             )
         )
 
@@ -758,13 +771,18 @@ class Planner:
         # fact rows: skey → (gkey, gsig, glabels). The invertible _gsig2
         # keeps the group-dim dedup a plain string-distinct HashAggregate
         # (no map type near any aggregation).
-        gmap = (
-            inner.dim.withColumn(
-                "_glabels", group_labels_expr(F.col("labels"), node.modifier)
-            )
-            .withColumn("_gsig2", _sig2_expr(F.col("_glabels")))
-            .withColumn("_gsig", F.replace(F.col("_gsig2"), F.lit(_PAIR_SEP), F.lit("")))
-            .withColumn("_gkey", F.xxhash64("_gsig"))
+        # one projection, expressions inlined: withColumn chains re-analyze
+        # the dim subtree once per column on the driver; the duplicated
+        # subexpressions only re-evaluate on dim-sized rows
+        _glabels = group_labels_expr(F.col("labels"), node.modifier)
+        _gsig2 = _sig2_expr(_glabels)
+        _gsig = F.replace(_gsig2, F.lit(_PAIR_SEP), F.lit(""))
+        gmap = inner.dim.select(
+            "*",
+            _glabels.alias("_glabels"),
+            _gsig2.alias("_gsig2"),
+            _gsig.alias("_gsig"),
+            F.xxhash64(_gsig).alias("_gkey"),
         )
 
         # iteration-order quirks (count/group seeding, topk tie-breaks)

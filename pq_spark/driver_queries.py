@@ -45,17 +45,36 @@ def _par(spark) -> int:
     return spark.sparkContext.defaultParallelism
 
 
+# explicit source schemas: schema inference re-reads parquet footers on
+# the driver on EVERY query build (~80 ms/read measured); the driver
+# corpus schemas are fixed, so declare them once
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+_DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+_EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small single-file parquet would otherwise pin the whole shingle/hash
     # pipeline to ONE task; at cluster scale inputs arrive pre-split
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(_par(spark))
+    return (
+        spark.read.schema(_DOCS_SCHEMA)
+        .parquet(f"{sf_dir}/documents.parquet")
+        .repartition(_par(spark))
+    )
 
 
 def _event_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one (event_id, ts_ms, et, ub, value) projection of the events
     table — every consumer (engine samples, sketch tiers) derives from
     this so the decode contract can never drift from the _S_CTE oracle."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(_par(spark))
+    ev = (
+        spark.read.schema(_EVENTS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+        .repartition(_par(spark))
+    )
     return ev.select(
         F.col("event_id"),
         # parquet stores TIMESTAMP_NTZ; session tz is UTC so the cast is
@@ -376,11 +395,18 @@ def _tier_query(bucket: str):
 
 
 def _cascade_query(levels: list[str]):
+    # narrow cascade with ONE shared dim: cascading the wide schema
+    # re-derives the dim per level and re-embeds the lower pipeline
+    # (see rollup_cascade) — same rows, ~3x smaller plan
     def q(spark, sf):
-        t = rollup_tier(event_samples(spark, sf), levels[0])
+        from .rollup.tiers import attach_series, series_dim, tier_partials
+
+        samples = event_samples(spark, sf)
+        dim = series_dim(samples)
+        p = tier_partials(samples, levels[0], dim=dim)
         for lvl in levels[1:]:
-            t = tier_from_tier(t, lvl)
-        return _flatten_tier(t)
+            p = tier_from_tier(p, lvl)
+        return _flatten_tier(attach_series(p, dim))
 
     return q
 
@@ -816,12 +842,17 @@ FROM documents""",
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(_par(spark))
+    return (
+        spark.read.schema(_EMB_SCHEMA)
+        .parquet(f"{sf_dir}/embeddings.parquet")
+        .repartition(_par(spark))
+    )
 
 
 def _query_vec(spark, sf) -> list[float]:
     row = (
-        spark.read.parquet(f"{sf}/embeddings.parquet")
+        spark.read.schema(_EMB_SCHEMA)
+        .parquet(f"{sf}/embeddings.parquet")
         .filter(F.col("vec_id") == 0)
         .select("embedding")
         .first()
@@ -2723,8 +2754,11 @@ register(
 
 # -- time-series joins (as-of + bucketed range; pq_spark/timejoin.py) --------
 def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _par(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(_par(spark))
+    ev = (
+        spark.read.schema(_EVENTS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+        .repartition(_par(spark))
+    )
     return ev.select(
         "event_id",
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
@@ -2850,12 +2884,21 @@ def _routed_window_query(spark, sf):
     360 minute partials or the raw corpus. The oracle computes the same
     windows from RAW events, so a hash match proves tier construction,
     the routing decision, AND strided window serving end-to-end."""
-    from .rollup.tiers import rollup_cascade, serve_over_time_routed
+    from .rollup.tiers import (
+        serve_over_time_routed, series_dim, tier_from_tier, tier_partials,
+    )
 
     HOUR = 60 * MIN_MS
-    tiers = rollup_cascade(event_samples(spark, sf), ("1m", "1h"))
+    # narrow tiers + one dim attach at the end: the router/serving path
+    # stays skey-keyed (over_time_from_tier's narrow branch), so the plan
+    # carries no label maps and no per-level dim re-derivation
+    samples = event_samples(spark, sf)
+    dim = series_dim(samples)
+    p1m = tier_partials(samples, "1m", dim=dim)
+    tiers = {"1m": p1m, "1h": tier_from_tier(p1m, "1h")}
     b, w = serve_over_time_routed(tiers, 2 * HOUR, 6 * HOUR)
     assert b == HOUR, f"router picked {b}, expected 1h"
+    w = w.join(dim, "skey")
     return w.select(
         (F.col("bucket_ts") + F.lit(HOUR - 1)).alias("instant"),
         F.col("labels").getItem("et").alias("et"),

@@ -122,14 +122,6 @@ def tier_partials(
     skey_col = (
         F.col("skey") if narrow_input else series_key(sig_expr(F.col("labels")))
     )
-    base = samples.select(
-        _bucket(F.col("ts"), tier_ms).alias("bucket_ts"),
-        skey_col.alias("skey"),
-        "ts",
-        "seq",
-        "value",
-    )
-
     # packed (ts, seq) ordering key: min_by/max_by over a LONG keeps the
     # aggregation in HashAggregate (a struct key forces SortAggregate — a
     # per-partition sort). Tie caveat: two samples of one series in the SAME
@@ -137,7 +129,14 @@ def tier_partials(
     # arbitrarily; all drivers keep seq (event_id / line_no) far below 2^21
     # per ms.
     _B = F.lit(1 << 21)
-    base = base.withColumn("_okey", F.col("ts") * _B + F.pmod(F.col("seq"), _B))
+    base = samples.select(
+        _bucket(F.col("ts"), tier_ms).alias("bucket_ts"),
+        skey_col.alias("skey"),
+        "ts",
+        "seq",
+        "value",
+        (F.col("ts") * _B + F.pmod(F.col("seq"), _B)).alias("_okey"),
+    )
 
     def aggs(g):
         return g.agg(
@@ -282,15 +281,24 @@ def tier_from_tier(lower: DataFrame, tier: str | int) -> DataFrame:
 def rollup_cascade(
     samples: DataFrame, tiers: list[str] = ("1m", "1h", "1d"), salt_buckets: int = 0
 ) -> dict[str, DataFrame]:
-    """Full cascade: raw → tiers[0] → tiers[1] → … (each from the previous)."""
+    """Full cascade: raw → tiers[0] → tiers[1] → … (each from the previous).
+
+    The cascade runs NARROW (skey-keyed partials) with ONE shared series
+    dim attached at each exposed level. Cascading the wide schema instead
+    would re-derive the dim from the lower tier's partials at every level
+    (``_merge_partials``) — each level's plan then embeds the whole lower
+    pipeline twice and shuffles string sig keys (measured on the r08
+    tier_1d_cascade bar: ~30 Exchanges and three copies of the 1m subtree
+    for the wide form)."""
     out: dict[str, DataFrame] = {}
+    dim = series_dim(samples)
     prev: DataFrame | None = None
     for t in tiers:
         if prev is None:
-            prev = rollup_tier(samples, t, salt_buckets=salt_buckets)
+            prev = tier_partials(samples, t, salt_buckets=salt_buckets, dim=dim)
         else:
             prev = tier_from_tier(prev, t)
-        out[t] = prev
+        out[t] = attach_series(prev, dim)
     return out
 
 

@@ -194,6 +194,9 @@ def minhash_lsh_pairs(
         ]
     )
     banded = sig.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    # three consumers (cap count, join a, join b) of the shingle+minhash
+    # subtree — materialize the banded keys once (bands × docs rows)
+    banded = banded.persist()
     banded = _cap_buckets(banded, "band_key", max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -222,7 +225,7 @@ def near_dup_pairs(
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    ).persist()  # three consumers: sizes + both sides of the verify join
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col("doc").alias("doc_a"), "sh")
     shb = sh.select(F.col("doc").alias("doc_b"), "sh")
@@ -431,6 +434,9 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
     )
+    # four consumers of the shingle fold (sizes, cap count, join a/b):
+    # materialize once instead of re-shingling the corpus per branch
+    sh = sh.persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     if max_doc_freq is not None:
         sh = _cap_buckets(sh, "sh", max_doc_freq)
@@ -460,18 +466,20 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     w = docs.select(
         F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w")
     ).withColumn("h", portable_hash(F.col("w"), "sim"))
+    # SQL-string exprs: one py4j round trip per aggregate instead of ~6
+    # Column-API calls each — the 60-bit build was construction-bound
+    # (guide §1: the driver is part of the job)
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.expr(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)").alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
     per_doc = w.groupBy(id_col).agg(*bit_aggs)
-    fingerprint = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << j).cast("long")
-        fingerprint = term if fingerprint is None else fingerprint + term
+    fingerprint = F.expr(
+        " + ".join(
+            f"(CASE WHEN b{j} > 0 THEN {1 << j}L ELSE 0L END)"
+            for j in range(SIMHASH_BITS)
+        )
+    )
     return per_doc.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
@@ -511,6 +519,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         ]
     )
     banded = sh.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("chunk"))
+    # same three-consumer shape as minhash_lsh_pairs: materialize once
+    banded = banded.persist()
     banded = _cap_buckets(banded, "chunk", max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -2125,6 +2135,11 @@ def winnow_pairs(
     fp = winnow_fingerprints(
         docs, k=k, w=w, id_col=id_col, text_col=text_col
     )
+    # the fingerprint fold (per-gram md5 + window minima) feeds THREE
+    # consumers below (bucket-cap count, join side a, join side b) — each
+    # would re-run the whole fold. Materialize it once; the fingerprint
+    # set is ~2n/(w+1) longs per corpus, far smaller than the text
+    fp = fp.persist()
     fp = _cap_buckets(fp, "fp", max_bucket)
     a = fp.select(F.col(id_col).alias("id_a"), "fp")
     b = fp.select(F.col(id_col).alias("id_b"), "fp")

@@ -99,6 +99,55 @@ def profile_queries(spark, sf_dir: str, names: list[str], reps: int,
     return out
 
 
+def ts_bench(spark, n: int = 2_000_000) -> dict:
+    """Decoder microbench: format-guess timestamp parsing over n synthetic
+    log-format lines — old pure-pandas cascade vs the staged JVM cascade
+    with masked Python fallback (the shipped no-format decode path)."""
+    import pyspark.sql.functions as F
+
+    from pq_spark.engine.ingest import _guess_ts_jvm, _guess_ts_udf
+
+    base = spark.range(n).select(
+        F.when(F.col("id") % 4 == 0,
+               F.concat(F.lit("2024-03-0"), (F.col("id") % 9 + 1).cast("string"),
+                        F.lit("T10:11:12Z")))
+        .when(F.col("id") % 4 == 1,
+              F.concat(F.lit("01/Jul/2021:00:00:"),
+                       F.lpad((F.col("id") % 60).cast("string"), 2, "0"),
+                       F.lit(" +0200")))
+        .when(F.col("id") % 4 == 2,
+              (F.lit(1600000000) + F.col("id") % 10000).cast("string"))
+        .otherwise(F.concat(F.lit("2021-01-01 00:00:"),
+                            F.lpad((F.col("id") % 60).cast("string"), 2, "0"),
+                            F.lit(".25")))
+        .alias("s")
+    ).persist()
+    base.count()
+
+    def t(df, reps=3):
+        df.write.format("noop").mode("overwrite").save()
+        out = []
+        for _ in range(reps):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            out.append(round(time.time() - t0, 3))
+        return min(out)
+
+    old = t(base.select(_guess_ts_udf()(F.col("s")).alias("t")))
+    st = base.withColumn("_j", _guess_ts_jvm(F.col("s")))
+    new = t(st.withColumn(
+        "t", F.coalesce(F.col("_j"), _guess_ts_udf()(F.when(F.col("_j").isNull(), F.col("s"))))
+    ).select("t"))
+    jvm_only = t(base.select(_guess_ts_jvm(F.col("s")).alias("t")))
+    diffs = st.select(
+        _guess_ts_udf()(F.col("s")).alias("a"),
+        F.coalesce(F.col("_j"), _guess_ts_udf()(F.when(F.col("_j").isNull(), F.col("s")))).alias("b"),
+    ).filter("a IS DISTINCT FROM b").count()
+    base.unpersist()
+    return {"n": n, "old_udf_s": old, "new_staged_s": new,
+            "jvm_only_s": jvm_only, "diff_rows": diffs}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -107,11 +156,16 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--plans", default=None, help="directory to write explain('formatted') to")
     ap.add_argument("--suffix", default="before")
+    ap.add_argument("--ts-bench", action="store_true",
+                    help="run the decoder guess-cascade microbench instead")
     args = ap.parse_args()
 
     spark = _mk_spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        if args.ts_bench:
+            print(json.dumps(ts_bench(spark)))
+            return
         names = args.queries or HEADLINE
         res = profile_queries(spark, args.sf_dir, names, args.reps, args.plans, args.suffix)
         print(json.dumps(res, indent=1))

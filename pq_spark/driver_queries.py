@@ -419,10 +419,16 @@ register("tier_1d_cascade", _cascade_query(["1m", "1h", "1d"]), _tier_sql(86_400
 
 
 def _gapfill_query(spark, sf):
+    from .rollup.tiers import series_dim, tier_partials
+
     samples = event_samples(spark, sf)
     day1 = samples.filter(F.col("ts") < SINCE_MS + DAY_MS)
-    tier = rollup_tier(day1, "1m")
-    out = gapfill(tier, 60_000, lookback_buckets=5)
+    # narrow partials + one dim, with the partials materialized once:
+    # gapfill consumes its input three times (bounds, serve, identity) —
+    # the wide form re-ran the whole tier pipeline per consumer
+    dim = series_dim(day1)
+    p = tier_partials(day1, "1m", dim=dim).persist()
+    out = gapfill(p, 60_000, lookback_buckets=5, dim=dim)
     return out.select(
         "bucket_ts",
         F.col("labels").getItem("et").alias("et"),
@@ -862,7 +868,13 @@ def _query_vec(spark, sf) -> list[float]:
 
 def _ann_brute(spark, sf):
     emb = _emb(spark, sf)
-    return textops.cosine_topk(emb, _query_vec(spark, sf), k=10)
+    q = (
+        spark.read.schema(_EMB_SCHEMA)
+        .parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+    )
+    return textops.cosine_topk_join(emb, q, k=10)
 
 
 _ANN_SQL = """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),

@@ -203,11 +203,144 @@ def _decode_json(lines: DataFrame) -> DataFrame:
 def _guess_ts_udf():
     @pandas_udf("long")
     def _guess(s: pd.Series) -> pd.Series:
-        return s.map(
+        # fallback tail of the guess cascade: with the JVM half claiming
+        # the common shapes, batches arrive mostly/entirely null — skip
+        # them instead of running the per-element lambda on every row
+        mask = s.notna()
+        if not mask.any():
+            return pd.Series([None] * len(s), index=s.index, dtype="Int64")
+        out = pd.Series([None] * len(s), index=s.index, dtype="object")
+        out[mask] = s[mask].map(
             lambda v: try_parse_time(v) if isinstance(v, str) else None
-        ).astype("Int64")
+        )
+        return out.astype("Int64")
 
     return _guess
+
+
+_TS_MONTHS_RE = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
+
+
+def _ts_frac_ms(g):
+    # g captures the fraction INCLUDING the dot; ≤3 digits by regex, so
+    # right-padding to ms equals the Python cascade's round(frac*1000)
+    return F.when(g == "", F.lit(0)).otherwise(
+        F.rpad(F.substring(g, 2, 3), 3, "0").cast("int")
+    )
+
+
+def _ts_off_ms(g):
+    # "+0200"-style numeric zone → signed offset ms
+    sign = F.when(F.substring(g, 1, 1) == "-", F.lit(-1)).otherwise(F.lit(1))
+    return sign * (
+        F.substring(g, 2, 2).cast("int") * 3600
+        + F.substring(g, 4, 2).cast("int") * 60
+    ) * 1000
+
+
+def _guess_ts_jvm(s):
+    """JVM half of the format-guess cascade (reference:
+    src/utils/time.rs:50-88): Unix ms for the shapes provably equal to
+    ``try_parse_time``, NULL otherwise — the caller routes NULL rows to
+    the Python cascade. Claim rules that keep the two paths identical:
+
+    - fractions limited to ≤3 digits (longer ones need Python's
+      round-to-ms); months/weekday pinned to the exact spellings the
+      Python tables accept (Spark's ``MMM`` parse is case-INSENSITIVE,
+      Python's nginx table is not — a case-variant month must fall
+      through to Python, which rejects it);
+    - year 0000 excluded everywhere (valid proleptic date for java.time,
+      ``datetime`` raises — the fallback preserves the raise);
+    - invalid dates inside a matching shape (Feb 30) parse to NULL via
+      ``try_to_timestamp`` and fall back to Python, which raises exactly
+      as before;
+    - the shapes of the LATER cascade stages (nginx/ISO/unix digits) are
+      disjoint from everything ``email.utils.parsedate_to_datetime``
+      (stage 2) accepts, so shape-dispatch preserves cascade order.
+    """
+    # --- ISO family (RFC3339 / ISO±'T' / ISO + offset) ---
+    # fixed-position core "yyyy-MM-dd[T ]HH:mm:ss": validated by
+    # try_to_timestamp (digits, ranges, real calendar dates), so no
+    # full-string regex is needed — only the variable TAIL (fraction /
+    # zone, ≤10 chars) is regex-checked. A row whose tail doesn't match
+    # yields NULL and falls back to the Python cascade, which re-tries
+    # every format — misrouting can cost time, never correctness.
+    core_iso = F.try_to_timestamp(
+        F.concat(F.substring(s, 1, 10), F.lit(" "), F.substring(s, 12, 8)),
+        F.lit("yyyy-MM-dd HH:mm:ss"),
+    )
+    sep = F.substring(s, 11, 1)
+    tail = F.substring(s, 20, 32)
+    T3339 = r"^(\.\d{1,3})?(Z|z|[+-]\d{2}:\d{2})$"
+    TFRAC = r"^(\.\d{1,3})?$"
+    TOFF = r"^(\.\d{1,3})? ([+-]\d{4})$"
+    zone3339 = F.regexp_extract(tail, T3339, 2)
+    off3339 = F.when(zone3339.isin("Z", "z"), F.lit(0)).otherwise(
+        F.when(F.substring(zone3339, 1, 1) == "-", F.lit(-1)).otherwise(F.lit(1))
+        * (
+            F.substring(zone3339, 2, 2).cast("int") * 3600
+            + F.substring(zone3339, 5, 2).cast("int") * 60
+        )
+        * 1000
+    )
+    iso_ms = F.unix_millis(core_iso)
+    v_iso = F.when(
+        # year 0000 is a valid proleptic java.time date but raises in
+        # datetime — leave it to the Python path (which raises, as before)
+        (F.substring(s, 1, 4) != "0000") & iso_ms.isNotNull(),
+        F.when(
+            (sep == "T") & tail.rlike(T3339),
+            iso_ms + _ts_frac_ms(F.regexp_extract(tail, T3339, 1)) - off3339,
+        )
+        .when(
+            sep.isin("T", " ") & tail.rlike(TFRAC),
+            iso_ms + _ts_frac_ms(F.regexp_extract(tail, TFRAC, 1)),
+        )
+        .when(
+            (sep == " ") & tail.rlike(TOFF),
+            iso_ms
+            + _ts_frac_ms(F.regexp_extract(tail, TOFF, 1))
+            - _ts_off_ms(F.regexp_extract(tail, TOFF, 2)),
+        ),
+    )
+
+    # --- nginx "dd/Mon/yyyy:HH:mm:ss +zzzz" — fully positional ---
+    # month pinned to the EXACT proper-case spellings the Python table
+    # accepts (Spark's MMM parse is case-insensitive, the table is not)
+    ngx_zone = F.substring(s, 22, 5)
+    v_nginx = F.when(
+        (F.length(s) == 26)
+        & F.substring(s, 4, 3).isin(*_TS_MONTHS_RE.split("|"))
+        & (F.substring(s, 8, 4) != "0000")
+        & (F.substring(s, 21, 1) == " ")
+        & ngx_zone.rlike(r"^[+-]\d{4}$"),
+        F.unix_millis(
+            F.try_to_timestamp(F.substring(s, 1, 20), F.lit("dd/MMM/yyyy:HH:mm:ss"))
+        )
+        - _ts_off_ms(ngx_zone),
+    )
+
+    # --- unix seconds / millis (10 / 13 digits) ---
+    v_unix = F.when(s.rlike(r"^\d{10}$"), s.cast("long") * 1000).otherwise(
+        F.when(s.rlike(r"^\d{13}$"), s.cast("long"))
+    )
+
+    # structural pre-dispatch: each shape implies one cheap substring
+    # fact, so a row attempts ~one family instead of all of them.
+    # RFC2822 is deliberately NOT claimed: a JVM expression for it (split
+    # + field checks + try_to_timestamp) pushed the generated whole-stage
+    # method past the JIT's compile threshold and the whole projection
+    # ran as interpreted bytecode — 3x SLOWER than the Python cascade
+    # (measured: 2.8 s vs 1.1 s / 2M rows). parsedate rows ride the
+    # masked Python fallback at the old path's cost.
+    return (
+        F.when(F.substring(s, 5, 1) == "-", v_iso)  # yyyy-…
+        .when(F.substring(s, 3, 1) == "/", v_nginx)  # dd/Mon/yyyy:…
+        .when(
+            F.length(s).isin(10, 13) & F.substring(s, 1, 1).isin(*"0123456789"),
+            v_unix,
+        )
+    )
 
 
 def _explicit_ts_udf(fmt: str):
@@ -228,7 +361,12 @@ def _explicit_ts_udf(fmt: str):
 
 def _ts_expr(datum, fmt: str | None):
     if fmt is None:
-        return _guess_ts_udf()(datum)
+        # JVM shapes first (codegen'd, no Python boundary); only rows no
+        # JVM shape claims reach the pandas cascade, and they arrive
+        # MASKED — claimed rows cross the Arrow boundary as nulls, so the
+        # Python side does ~no per-element work on a typical log corpus
+        jvm = _guess_ts_jvm(datum)
+        return F.coalesce(jvm, _guess_ts_udf()(F.when(jvm.isNull(), datum)))
     java = strptime_to_java(fmt)
     if java is not None:
         return F.unix_millis(F.try_to_timestamp(datum, F.lit(java)))
@@ -303,7 +441,20 @@ def map_records(
                 )
             )
         elif fld.typ == "ts":
-            parsed = _ts_expr(datum, fld.ts_format)
+            if fld.ts_format is None:
+                # stage the JVM cascade as a REAL column: referencing the
+                # expression from both the fallback mask and the coalesce
+                # would evaluate the 6-regex tree twice (once below, once
+                # above the ArrowEvalPython node — no CSE across it)
+                jname, pname = f"_tsj{i}", f"_tsp{i}"
+                datum_cols[jname] = _guess_ts_jvm(datum)
+                j = F.col(jname)
+                datum_cols[pname] = F.coalesce(
+                    j, _guess_ts_udf()(F.when(j.isNull(), datum))
+                )
+                parsed = F.col(pname)
+            else:
+                parsed = _ts_expr(datum, fld.ts_format)
             valid = valid & datum.isNotNull() & parsed.isNotNull()
             ts_col = parsed
         else:  # pragma: no cover
@@ -346,6 +497,7 @@ def map_errors(entries: DataFrame, mapper: Mapper) -> DataFrame:
     first error, so a chained when() in the same order reproduces both the
     dropped set and the reported message."""
     err = F.lit(None).cast("string")
+    staged = entries
 
     def first_err(*cases):
         nonlocal err
@@ -354,7 +506,7 @@ def map_errors(entries: DataFrame, mapper: Mapper) -> DataFrame:
                 F.when(cond, F.lit(msg))
             )
 
-    for fld in mapper.fields:
+    for fi, fld in enumerate(mapper.fields):
         if fld.typ == "const":
             continue
         if isinstance(fld.loc, int):
@@ -372,7 +524,19 @@ def map_errors(entries: DataFrame, mapper: Mapper) -> DataFrame:
         if fld.typ == "num":
             first_err((datum.try_cast("double").isNull(), "could not parse numeric field"))
         elif fld.typ == "ts":
-            parsed = _ts_expr(datum, fld.ts_format)
+            if fld.ts_format is None:
+                # stage like map_records: one JVM-cascade evaluation, one
+                # masked Python fallback
+                jname, pname = f"_etsj{fi}", f"_etsp{fi}"
+                staged = staged.withColumn(jname, _guess_ts_jvm(datum))
+                j = F.col(jname)
+                staged = staged.withColumn(
+                    pname,
+                    F.coalesce(j, _guess_ts_udf()(F.when(j.isNull(), datum))),
+                )
+                parsed = F.col(pname)
+            else:
+                parsed = _ts_expr(datum, fld.ts_format)
             msg = (
                 "couldn't guess time format"
                 if fld.ts_format is None
@@ -381,7 +545,7 @@ def map_errors(entries: DataFrame, mapper: Mapper) -> DataFrame:
             first_err((parsed.isNull(), msg))
 
     return (
-        entries.select("line_no", err.alias("error"))
+        staged.select("line_no", err.alias("error"))
         .filter(F.col("error").isNotNull())
     )
 

@@ -552,6 +552,7 @@ def gapfill(
     tier_ms: int,
     lookback_buckets: int = 1,
     value_col: str = "last_val",
+    dim: DataFrame | None = None,
 ) -> DataFrame:
     """Explicit gap-fill with staleness-aware lookback (pq instant-vector
     semantics at interval == tier): every bucket in [min, max] of the global
@@ -564,6 +565,10 @@ def gapfill(
     Output: (bucket_ts, sig, name, labels, value, filled boolean).
     """
     lb_ms = lookback_buckets * tier_ms
+    narrow = "skey" in tier_df.columns and "labels" not in tier_df.columns
+    if narrow and dim is None:
+        raise ValueError("narrow tier input requires an explicit series dim")
+    ident = "skey" if narrow else "sig"
 
     bounds = tier_df.agg(
         F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
@@ -571,7 +576,7 @@ def gapfill(
     served = (
         tier_df.crossJoin(F.broadcast(bounds))
         .select(
-            "sig", "bucket_ts",
+            ident, "bucket_ts",
             F.col(value_col).alias("_v"),
             F.explode(
                 F.sequence(
@@ -586,14 +591,15 @@ def gapfill(
     # map through first() would SortAggregate every served row); identity
     # columns rejoin from the broadcast-sized series dim
     filled = (
-        served.groupBy(F.col("_serve").alias("bucket_ts"), "sig")
+        served.groupBy(F.col("_serve").alias("bucket_ts"), ident)
         .agg(
             F.max_by("_v", "bucket_ts").alias("value"),
             F.max("bucket_ts").alias("_src"),
         )
     )
-    dim = _series_dim_from_wide(tier_df)
-    return filled.join(F.broadcast(dim), "sig").select(
+    if not narrow:
+        dim = _series_dim_from_wide(tier_df)
+    return filled.join(F.broadcast(dim), ident).select(
         "bucket_ts", "sig", "name", "labels", "value",
         (F.col("_src") != F.col("bucket_ts")).alias("filled"),
     )

@@ -572,6 +572,26 @@ def cosine_topk(
     )
 
 
+def cosine_topk_join(
+    embeddings: DataFrame, query: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """``cosine_topk`` with the query vector supplied as a 1-row DataFrame
+    (column ``embedding``) instead of a driver-side Python list: the
+    collect-to-driver job disappears from query construction and the
+    vector rides a broadcast instead. float→double casts widen exactly,
+    so the scores are bit-identical to the literal-array form."""
+    q = F.transform(F.col("_q"), lambda x: x.cast("double"))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return (
+        embeddings.crossJoin(F.broadcast(query.select(F.col(vec_col).alias("_q"))))
+        .select(F.col(id_col), F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_buckets(
     embeddings: DataFrame, num_planes: int = 8,
     vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64,

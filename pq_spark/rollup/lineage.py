@@ -76,7 +76,7 @@ class CommitResult:
 class TierStore:
     """Date-partitioned parquet table with lineage manifests + resume."""
 
-    def __init__(self, base_path: str, target_rows_per_file: int = 4096):
+    def __init__(self, base_path: str, target_rows_per_file: int = 1_000_000):
         self.base_path = base_path
         # writer-split granularity floor: a stale partition is sharded over
         # ceil(rows / target_rows_per_file) writer tasks, capped at the
@@ -84,6 +84,13 @@ class TierStore:
         # keep every writer core busy; small cascade tiers (1h/1d) stop
         # paying a parallelism-way tiny-file tax. Row counts come free
         # from the fingerprint pass, so the width is exact, not guessed.
+        # Default sizes OUTPUT FILES for readers (guide §6: 128 MB-1 GB
+        # parquet files): tier rows are ~150-250 B, so 1M rows ≈
+        # 150-250 MB per file. The parallelism cap still bounds writer
+        # width, and a date bigger than parallelism × target splits into
+        # parallelism-many larger files rather than unbounded task counts.
+        # (The old 4096-row default emitted ~1 MB files — a metadata and
+        # file-open tax on every downstream scan at any realistic scale.)
         self.target_rows_per_file = target_rows_per_file
 
     # -- manifest I/O --------------------------------------------------------

@@ -1287,22 +1287,40 @@ def doc_repetition(
         F.col(text_col),
     )
 
-    def _hashed_grams(n: int) -> DataFrame:
-        # project the exploded gram to (hash, length) BEFORE the aggregate
-        # so the exchange carries two longs, not the gram text
-        g = F.explode(ngrams_col(F.col(text_col), n)).alias("g")
-        return (
-            base.select(id_col, "_nc", g)
-            .select(
-                id_col, "_nc",
-                portable_hash(F.col("g"), "rep").alias("gh"),
-                F.length("g").alias("glen"),
-            )
-            .groupBy(id_col, "_nc", "gh", "glen")
-            .agg(F.count("*").alias("c"))
+    # ONE tokenize + explode pass for both gram sizes: each gram rides as
+    # (n, hash, length), so the 2-gram and 5-gram counts come out of a
+    # single scan + single map-side-combined aggregation instead of two
+    # full passes over the corpus. The per-(doc, gram) counts feed two
+    # consumers (top-bigram window, dup-5-gram sum) — materialized once.
+    tagged = F.explode(
+        _bind(
+            words_col(F.col(text_col)),
+            lambda w: F.concat(
+                F.transform(
+                    _ngrams(w, 2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+                ),
+                F.transform(
+                    _ngrams(w, 5),
+                    lambda g: F.struct(F.lit(5).alias("n"), g.alias("g")),
+                ),
+            ),
         )
+    ).alias("t")
+    counts = (
+        base.select(id_col, "_nc", tagged)
+        .select(
+            id_col, "_nc",
+            F.col("t.n").alias("_gn"),
+            portable_hash(F.col("t.g"), "rep").alias("gh"),
+            F.length("t.g").alias("glen"),
+        )
+        .groupBy(id_col, "_nc", "_gn", "gh", "glen")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
 
-    bg = _hashed_grams(2)
+    bg = counts.filter(F.col("_gn") == 2)
     rn = F.row_number().over(
         Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("gh").asc())
     )
@@ -1317,7 +1335,7 @@ def doc_repetition(
         )
     )
 
-    fg = _hashed_grams(5)
+    fg = counts.filter(F.col("_gn") == 5)
     dup_fg = fg.groupBy(id_col, "_nc").agg(
         F.sum(
             F.when(F.col("c") > 1, F.col("c") * F.col("glen")).otherwise(F.lit(0))

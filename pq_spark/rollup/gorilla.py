@@ -295,16 +295,21 @@ def pack_blocks(
         dim = series_dim(samples)
     # NARROW kernel input: 8-byte series keys instead of signature strings;
     # label maps and sigs rejoin from the tiny series dim below.
+    # block_ts is a pure function of ts — derive it INSIDE the kernel
+    # instead of shipping a fifth long per row through the shuffle and
+    # the Arrow boundary (~-15% kernel-input bytes)
     keyed = samples.select(
         (F.col("skey") if narrow_input
          else series_key(sig_expr(F.col("labels")))).alias("skey"),
         (F.col("ts") - F.pmod(F.col("ts"), F.lit(super_ms))).alias("super_ts"),
-        (F.col("ts") - F.pmod(F.col("ts"), F.lit(block_ms))).alias("block_ts"),
         "ts", "seq", "value",
     )
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["block_ts", "ts", "seq"], kind="mergesort")
+        # (ts, seq) ordering == (block_ts, ts, seq): block_ts is monotone
+        # in ts, so deriving it after the sort preserves the block order
+        pdf = pdf.sort_values(["ts", "seq"], kind="mergesort")
+        pdf = pdf.assign(block_ts=pdf["ts"].to_numpy() - pdf["ts"].to_numpy() % block_ms)
         skey = pdf["skey"].iloc[0]
         out = {k: [] for k in ("skey", "block_ts", "n", "raw_bytes", "blob")}
         for block_ts, grp in pdf.groupby("block_ts", sort=True):

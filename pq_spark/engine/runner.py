@@ -36,10 +36,26 @@ ENGINE_CONFS = {
 }
 
 
+_CONFIGURED_SESSIONS: set[int] = set()
+
+
 def configure_session(spark: SparkSession) -> None:
+    # idempotent and called on EVERY query entry — the ~15 conf round
+    # trips are memoized per live session object (registry queries call
+    # this hundreds of times per bench run on one session). The two
+    # result-critical confs (IEEE arithmetic, UTC grid math) are still
+    # probed so a harness that flips them mid-session gets re-configured.
+    key = id(spark._jsparkSession)
+    if (
+        key in _CONFIGURED_SESSIONS
+        and spark.conf.get("spark.sql.ansi.enabled", "true") == "false"
+        and spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
+    ):
+        return
     for k, v in ENGINE_CONFS.items():
         spark.conf.set(k, v)
     _disable_dataframe_debugging(spark)
+    _CONFIGURED_SESSIONS.add(key)
 
 
 def _disable_dataframe_debugging(spark: SparkSession) -> None:

@@ -93,6 +93,12 @@ class TierStore:
         # file-open tax on every downstream scan at any realistic scale.)
         self.target_rows_per_file = target_rows_per_file
 
+    # writer-balance floor: a partition with >= k × this many rows may use
+    # up to k writer cores even when that makes files smaller than
+    # target_rows_per_file (never smaller than this floor, ~10-16 MB at
+    # tier row widths) — commit() takes max(size width, balance width)
+    MIN_ROWS_PER_FILE = 65536
+
     # -- manifest I/O --------------------------------------------------------
 
     def _lineage_dir(self, table: str) -> str:
@@ -356,11 +362,20 @@ class TierStore:
             # split width PER stale partition, from its exact row count:
             # a global max-based width would shatter a small date committed
             # alongside a big one into max-width tiny files (the round-6
-            # small-tier tax, reappearing WITHIN a mixed-size commit)
+            # small-tier tax, reappearing WITHIN a mixed-size commit).
+            # Width = max(size-derived, balance-derived): size wants
+            # ceil(rows/target) files of ~target rows; balance wants a
+            # partition with enough rows to keep the writer cores busy
+            # (rows // MIN_ROWS_PER_FILE writers, never making files
+            # below the parquet floor). A pure size rule serialized each
+            # date onto ONE writer below target rows — measured on the
+            # 1->4-executor scaling pair as a multi-second 4-exec-only
+            # tax with zero 1-exec effect.
             k_by_part = {
                 str(p): max(
                     1,
                     min(par, -(-int(fps[p]["rows"]) // self.target_rows_per_file)),
+                    min(par, int(fps[p]["rows"]) // self.MIN_ROWS_PER_FILE),
                 )
                 for p in stale
             }

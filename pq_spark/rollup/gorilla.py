@@ -340,30 +340,42 @@ def unpack_blocks(packed: DataFrame) -> DataFrame:
 
     def decode(batches):
         for pdf in batches:
-            out_sig, out_name, out_labels, out_ts, out_val = [], [], [], [], []
-            out_seq = []
-            for _, row in pdf.iterrows():
-                ts, vals = unpack_block(bytes(row["blob"]))
-                out_sig.extend([row["sig"]] * len(ts))
-                out_name.extend([row["name"]] * len(ts))
-                out_labels.extend([row["labels"]] * len(ts))
-                out_ts.extend(ts.tolist())
-                out_val.extend(vals.tolist())
-                # blocks store points in (ts, seq) order; the in-block
-                # position therefore reproduces the original tie-break
-                # order for same-millisecond samples (blocks partition
-                # time, so cross-block comparisons resolve on ts alone) —
-                # letting engine queries run over thawed blocks with
-                # exact first/last semantics
-                out_seq.extend(range(len(ts)))
+            # per-blob Python is inherent (the codec), but everything
+            # AROUND it is vectorized: identity columns fan out via
+            # np.repeat and the decoded arrays concatenate once —
+            # iterrows built a pandas Series per row and boxed every
+            # decoded point through Python lists
+            ts_parts, val_parts, counts = [], [], []
+            for blob in pdf["blob"]:
+                ts, vals = unpack_block(bytes(blob))
+                ts_parts.append(ts)
+                val_parts.append(vals)
+                counts.append(len(ts))
+            n = np.array(counts, dtype=np.int64)
+            rep = lambda col: np.repeat(col.to_numpy(), n)  # noqa: E731
+            empty_i = np.array([], dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "sig": out_sig,
-                    "name": out_name,
-                    "labels": out_labels,
-                    "ts": out_ts,
-                    "value": out_val,
-                    "seq": out_seq,
+                    "sig": rep(pdf["sig"]),
+                    "name": rep(pdf["name"]),
+                    "labels": rep(pdf["labels"]),
+                    "ts": np.concatenate(ts_parts) if ts_parts else empty_i,
+                    "value": (
+                        np.concatenate(val_parts)
+                        if val_parts
+                        else np.array([], dtype=np.float64)
+                    ),
+                    # blocks store points in (ts, seq) order; the
+                    # in-block position therefore reproduces the original
+                    # tie-break order for same-millisecond samples
+                    # (blocks partition time, so cross-block comparisons
+                    # resolve on ts alone) — letting engine queries run
+                    # over thawed blocks with exact first/last semantics
+                    "seq": (
+                        np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
+                        if counts
+                        else empty_i
+                    ),
                 }
             )
 
